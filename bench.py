@@ -1,0 +1,176 @@
+"""Benchmark harness. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: full DeepSTAPLE train steps/sec at the reference's training
+configuration — batch 8, 128x128x(95-45) crops pre-interpolated x1.5 to
+192x192x75 (`main_deep_staple.py:84,95`, `HybridIdLoader.py:327`), strict
+out-of-line DP schedule (CE fwd/bwd + AdamW + second forward + SparseAdam) and
+on-device augmentation included. This is everything the reference does per
+batch, measured on the TPU.
+
+vs_baseline: ratio against the reference-equivalent PyTorch step measured on
+this machine (torch is CPU-only in this image; the reference never published
+GPU throughput — SURVEY.md §6). The torch number is measured once at a reduced
+batch and scaled linearly, then cached in BENCH_BASELINE.json.
+
+Secondary numbers (consensus fusion voxels/sec, STAPLE EM) go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
+
+BATCH = 8
+BASE_SPATIAL = (128, 128, 50)  # post W-crop 45:95
+AUG_SPATIAL = (192, 192, 75)  # x1.5 pre-interpolation
+
+
+def _eprint(*a):
+    print(*a, file=sys.stderr)
+
+
+def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16") -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from deep_staple_tpu.core.config import TrainConfig
+    from deep_staple_tpu.train.driver import make_model
+    from deep_staple_tpu.train.state import create_state
+    from deep_staple_tpu.train.step import make_train_step
+
+    dataset_len = 1070
+    config = TrainConfig(
+        use_checkpointing=True, ool_mode="strict", compute_dtype=compute_dtype
+    )
+    model, _ = make_model(config, num_classes=2)
+    state, tx = create_state(model, (1,) + AUG_SPATIAL + (1,), dataset_len)
+    class_weights = np.array([0.5, 1.5], np.float32)
+    fixed_weighting = np.full((dataset_len,), 8.0, np.float32)
+    train_step = make_train_step(
+        model, tx, config, class_weights, fixed_weighting, pre_interpolation_factor=1.5
+    )
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(BATCH, *BASE_SPATIAL).astype(np.float32)),
+        "label": jnp.asarray((rng.rand(BATCH, *BASE_SPATIAL) > 0.9).astype(np.int32)),
+        "modified_label": jnp.asarray((rng.rand(BATCH, *BASE_SPATIAL) > 0.9).astype(np.int32)),
+        "dataset_idx": jnp.arange(BATCH, dtype=jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    t0 = time.time()
+    state, m = train_step(state, batch, 0.01, key)
+    jax.block_until_ready(m["loss"])
+    _eprint(f"compile+first step: {time.time()-t0:.1f}s")
+
+    times = []
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        state, m = train_step(state, batch, 0.01, k)
+        jax.block_until_ready(m["loss"])
+        times.append(time.time() - t0)
+    sec = float(np.median(times))
+    _eprint(f"TPU train step: {sec*1000:.1f} ms/step (median of {steps})")
+    return sec
+
+
+def measure_torch_baseline() -> float:
+    """Seconds per reference train step at BATCH via cached measurement."""
+    if BASELINE_CACHE.is_file():
+        cached = json.loads(BASELINE_CACHE.read_text())
+        if cached.get("batch") == BATCH and tuple(cached.get("spatial", ())) == AUG_SPATIAL:
+            return float(cached["sec_per_step"])
+    from benchmarks.torch_reference_step import measure_reference_step_time
+
+    small_batch = 1
+    t = measure_reference_step_time(small_batch, AUG_SPATIAL, steps=2)
+    sec = t * (BATCH / small_batch)  # linear batch scaling (CPU conv3d is compute-bound)
+    BASELINE_CACHE.write_text(
+        json.dumps(
+            {
+                "sec_per_step": sec,
+                "batch": BATCH,
+                "spatial": AUG_SPATIAL,
+                "measured_batch": small_batch,
+                "hardware": "host CPU (torch has no accelerator in this image)",
+            },
+            indent=2,
+        )
+    )
+    return sec
+
+
+def measure_consensus_fusion(cases: int = 4, raters: int = 10, spatial=(256, 256, 100)):
+    import jax
+    import jax.numpy as jnp
+
+    from deep_staple_tpu.consensus.voting import calc_dp_consensus
+
+    rng = np.random.RandomState(0)
+    lbls = jnp.asarray((rng.rand(raters, *spatial) > 0.7).astype(np.float32))
+    dps = jnp.asarray(rng.randn(raters).astype(np.float32))
+    fused = jax.jit(calc_dp_consensus)
+    out = fused(lbls, dps)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(cases):
+        t0 = time.time()
+        out = fused(lbls, dps)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    voxels = raters * np.prod(spatial)
+    vps = voxels / float(np.median(times))
+    _eprint(f"consensus fusion: {vps/1e9:.2f} Gvoxel/s ({raters} raters @ {spatial})")
+    return vps
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args(argv)
+
+    sec_tpu = measure_tpu_train_step(args.steps, args.dtype)
+    try:
+        measure_consensus_fusion()
+    except Exception as e:  # secondary metric; never break the headline
+        _eprint(f"consensus bench skipped: {e}")
+
+    value = 1.0 / sec_tpu
+    if args.skip_baseline:
+        vs = float("nan")
+    else:
+        try:
+            sec_ref = measure_torch_baseline()
+            _eprint(f"torch reference baseline: {sec_ref:.2f} s/step (CPU)")
+            vs = sec_ref / sec_tpu
+        except Exception as e:
+            _eprint(f"baseline measurement failed: {e}")
+            vs = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec_3d_b8_192x192x75",
+                "value": round(value, 4),
+                "unit": "steps/s",
+                "vs_baseline": (round(vs, 2) if vs == vs else None),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+from .voting import calc_dp_consensus
+from .staple import staple_consensus, StapleResult
+from .evaluate import build_consensus_dicts, evaluate_consensus, extract_consensus_dices
+
+__all__ = [
+    "calc_dp_consensus",
+    "staple_consensus",
+    "StapleResult",
+    "build_consensus_dicts",
+    "evaluate_consensus",
+    "extract_consensus_dices",
+]

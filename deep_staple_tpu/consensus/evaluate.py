@@ -1,0 +1,117 @@
+"""Consensus stage driver.
+
+Capability parity with `consensus.ipynb` cells 5-7: regroup a
+train_label_snapshot by fixed image (`f_id = _id[:4]`, `m_id = _id[6:]`,
+cell 6:32-51), compute the DP weighted-voting consensus and the STAPLE
+consensus per fixed image, score both against the expert label with dice3d,
+and persist per-case consensus dicts.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.snapshot_io import load_snapshot
+from ..ops.dice import dice3d
+from .staple import staple_consensus
+from .voting import calc_dp_consensus
+
+
+def build_consensus_dicts(snapshot: dict) -> dict:
+    """Regroup snapshot rows into {f_id: {'expert_label', 'prediction',
+    m_id: {'warped_label', 'data_parameter'}}} (cell 6:32-51)."""
+    d_ids = list(snapshot["d_ids"])
+    consensus_dicts: dict = {}
+    for _id in d_ids:
+        i = d_ids.index(_id)
+        f_id, m_id = _id[:4], _id[6:]
+        fixed = consensus_dicts.get(f_id)
+        if fixed is None:
+            fixed = {
+                "expert_label": np.asarray(snapshot["labels"][i]),
+                "prediction": np.asarray(snapshot["train_predictions"][i]),
+            }
+        moving = fixed.get(m_id, {})
+        moving["warped_label"] = np.asarray(snapshot["modified_labels"][i])
+        moving["data_parameter"] = float(np.asarray(snapshot["data_parameters"][i]).reshape(()))
+        fixed[m_id] = moving
+        consensus_dicts[f_id] = fixed
+    return consensus_dicts
+
+
+def evaluate_consensus(
+    snapshot_path,
+    out_path=None,
+    staple_max_iterations: int = 200,
+    use_native_staple: bool = False,
+) -> dict:
+    """Compute DP + STAPLE consensi and oracle dices for every fixed image."""
+    snapshot = load_snapshot(snapshot_path) if not isinstance(snapshot_path, dict) else snapshot_path
+    consensus_dicts = build_consensus_dicts(snapshot)
+
+    for f_id, fixed in consensus_dicts.items():
+        moving_ids = [k for k, v in fixed.items() if isinstance(v, dict)]
+        lbls = [fixed[m]["warped_label"] for m in moving_ids]
+        dps = [fixed[m]["data_parameter"] for m in moving_ids]
+        expert = fixed["expert_label"]
+
+        dp_consensus = np.asarray(calc_dp_consensus(jnp.stack([jnp.asarray(l) for l in lbls]), jnp.asarray(dps)))
+
+        if use_native_staple:
+            from .native_staple import staple_consensus_native
+
+            staple_out, sens, spec, _ = staple_consensus_native(lbls, staple_max_iterations)
+        else:
+            res = staple_consensus(lbls, max_iterations=staple_max_iterations)
+            staple_out = np.asarray(res.consensus)
+            sens, spec = np.asarray(res.sensitivities), np.asarray(res.specificities)
+
+        for m_id, s in zip(moving_ids, sens):
+            fixed[m_id]["staple_sensitivity"] = float(s)
+
+        dp_dsc = np.asarray(
+            dice3d(
+                jnp.asarray(np.eye(2, dtype=np.int32)[dp_consensus][None]),
+                jnp.asarray(np.eye(2, dtype=np.int32)[expert][None]),
+                one_hot_torch_style=True,
+                nan_for_unlabeled_target=False,
+            )
+        )
+        staple_dsc = np.asarray(
+            dice3d(
+                jnp.asarray(np.eye(2, dtype=np.int32)[staple_out][None]),
+                jnp.asarray(np.eye(2, dtype=np.int32)[expert][None]),
+                one_hot_torch_style=True,
+                nan_for_unlabeled_target=False,
+            )
+        )
+        fixed["dp_consensus"] = dp_consensus
+        fixed["staple_consensus"] = staple_out
+        fixed["dp_consensus_oracle_dice"] = dp_dsc
+        fixed["staple_consensus_oracle_dice"] = staple_dsc
+
+    if out_path is not None:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(out_path, "wb") as f:
+            pickle.dump(consensus_dicts, f)
+    return consensus_dicts
+
+
+def extract_consensus_dices(consensus_dicts_or_path):
+    """Mean oracle dices (cell 7)."""
+    if not isinstance(consensus_dicts_or_path, dict):
+        with open(consensus_dicts_or_path, "rb") as f:
+            consensus_dicts_or_path = pickle.load(f)
+    dp, st = [], []
+    for fixed in consensus_dicts_or_path.values():
+        dp.append(fixed["dp_consensus_oracle_dice"])
+        st.append(fixed["staple_consensus_oracle_dice"])
+    dp_t = np.concatenate(dp)[:, 1]
+    st_t = np.concatenate(st)[:, 1]
+    print(f"DP consensus mean dice: {dp_t.mean():.3f}")
+    print(f"STAPLE consensus mean dice: {st_t.mean():.3f}")
+    return dp_t, st_t

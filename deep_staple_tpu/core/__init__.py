@@ -1,0 +1,11 @@
+from .config import TrainConfig, DataParamMode, LabelDisturbanceMode, DotDict
+from .determinism import reset_determinism, seeded_rng
+
+__all__ = [
+    "TrainConfig",
+    "DataParamMode",
+    "LabelDisturbanceMode",
+    "DotDict",
+    "reset_determinism",
+    "seeded_rng",
+]

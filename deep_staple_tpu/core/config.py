@@ -1,0 +1,181 @@
+"""Configuration system.
+
+The reference keeps a flat `DotDict` literal of ~40 hyperparameters in the
+training script (`main_deep_staple.py:75-137`) plus enums in
+`utils/common_utils.py:27-36`. Here the same surface is a typed dataclass with
+CLI + sweep adapters; a `DotDict` shim is kept for dict-style consumers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import Enum, auto
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+class DataParamMode(Enum):
+    INSTANCE_PARAMS = auto()
+    DISABLED = auto()
+
+
+class LabelDisturbanceMode(Enum):
+    FLIP_ROLL = auto()
+    AFFINE = auto()
+
+
+class DotDict(dict):
+    """dot.notation dict (reference `utils/common_utils.py:11-23`)."""
+
+    def __getattr__(self, item):
+        try:
+            return self[item]
+        except KeyError as e:
+            raise AttributeError from e
+
+    __setattr__ = dict.__setitem__
+    __delattr__ = dict.__delitem__
+
+
+@dataclass
+class TrainConfig:
+    """Mirror of the reference `config_dict` (`main_deep_staple.py:75-137`),
+    plus TPU-specific knobs at the bottom."""
+
+    num_folds: int = 3
+    only_first_fold: bool = True
+
+    use_mind: bool = False
+    epochs: int = 40
+
+    batch_size: int = 8
+    val_batch_size: int = 1
+    use_2d_normal_to: Optional[str] = None
+
+    num_val_images: int = 20
+    atlas_count: int = 1
+
+    dataset: str = "crossmoda"
+    dataset_directory: str = "data/crossmoda_dataset"
+    reg_state: Optional[str] = "acummulate_every_third_deeds_FT2_MT1"
+    train_set_max_len: Optional[int] = None
+    crop_3d_w_dim_range: Optional[Tuple[int, int]] = (45, 95)
+    crop_2d_slices_gt_num_threshold: int = 0
+
+    lr: float = 0.01
+    use_scheduling: bool = True
+
+    # Data parameter config (reference :101-107)
+    data_param_mode: DataParamMode = DataParamMode.INSTANCE_PARAMS
+    init_inst_param: float = 0.0
+    lr_inst_param: float = 0.1
+    use_risk_regularization: bool = True
+    use_fixed_weighting: bool = True
+    use_ool_dp_loss: bool = True
+
+    # Pretrained data-parameter loading (reference :109-113)
+    fixed_weight_file: Optional[str] = None
+    fixed_weight_min_quantile: Optional[float] = None
+    fixed_weight_min_value: Optional[float] = None
+    override_embedding_weights: bool = False
+
+    save_every: int = 200
+    mdl_save_prefix: str = "data/models"
+
+    debug: bool = False
+    wandb_mode: str = "disabled"
+    do_sweep: bool = False
+
+    checkpoint_name: Optional[str] = None
+    fold_override: Optional[int] = None
+    checkpoint_epx: Optional[int] = None
+
+    do_plot: bool = False
+    save_dp_figures: bool = False
+    save_labels: bool = True
+
+    disturbance_mode: Optional[LabelDisturbanceMode] = None
+    disturbance_strength: float = 0.0
+    disturbed_percentage: float = 0.0
+
+    device: str = "tpu"  # informational; JAX picks the platform
+
+    # --- TPU-native additions (no reference equivalent) ---
+    # 'fused': single-jit step, DP loss sees stop_gradient(logits) from the
+    #   pre-update params. 'strict': second forward pass with the *updated*
+    #   params, bitwise-matching the reference's out-of-line schedule
+    #   (`main_deep_staple.py:723-729`).
+    ool_mode: str = "strict"
+    compute_dtype: str = "float32"  # 'bfloat16' recommended on TPU
+    use_checkpointing: bool = True
+    mesh_data_axis: int = 1  # data-parallel shards (1 = single chip)
+    sync_batchnorm: bool = False
+    seed: int = 0
+    output_dir: str = "data/output"
+    log_jsonl: bool = True
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        for k, v in d.items():
+            if isinstance(v, Enum):
+                d[k] = str(v)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TrainConfig":
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            if k == "data_param_mode" and isinstance(v, str):
+                v = DataParamMode[v.split(".")[-1]]
+            if k == "disturbance_mode" and isinstance(v, str):
+                v = LabelDisturbanceMode[v.split(".")[-1]]
+            kw[k] = v
+        return cls(**kw)
+
+
+def _smart_value(s: str):
+    """Parse a CLI string: ''/'none' -> None, 'a,b' -> tuple of ints,
+    otherwise int -> float -> str."""
+    if s is None or s.lower() in ("", "none", "null"):
+        return None
+    if "," in s:
+        return tuple(int(p) for p in s.split(",") if p != "")
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            continue
+    return s
+
+
+def add_cli_args(parser, config: TrainConfig = TrainConfig()):
+    """Register every config field as a CLI flag (the reference has no train
+    CLI; preprocessing scripts do, e.g. `build_levels.py:294-298`).
+
+    Typed from each field's default: bools accept true/false, ints/floats are
+    cast, None-able and tuple fields go through `_smart_value` (so
+    `--crop-3d-w-dim-range 45,95` and `--crop-3d-w-dim-range none` both work).
+    """
+    for f in dataclasses.fields(config):
+        name = "--" + f.name.replace("_", "-")
+        default = getattr(config, f.name)
+        if isinstance(default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
+        elif isinstance(default, Enum):
+            parser.add_argument(name, type=str, default=str(default))
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(name, type=float, default=default)
+        elif isinstance(default, str):
+            parser.add_argument(name, type=str, default=default)
+        else:  # Optional[...] and tuples
+            parser.add_argument(name, type=_smart_value, default=default)
+    return parser

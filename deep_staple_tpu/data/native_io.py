@@ -1,0 +1,60 @@
+"""Bridge to the optional C++ NIfTI loader (native/deepstaple_io.cpp).
+
+The reference consumed native I/O through nibabel's C-backed stack; here the
+native fast path is first-party. If the shared library is absent or fails,
+the pure-Python reader in `nifti.py` is used.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .nifti import load_nifti
+
+_LIB = None
+_LIB_SEARCHED = False
+
+
+def _find_lib():
+    global _LIB, _LIB_SEARCHED
+    if _LIB_SEARCHED:
+        return _LIB
+    _LIB_SEARCHED = True
+    here = Path(__file__).resolve().parent.parent.parent / "native"
+    for cand in (here / "libdeepstaple_io.so", Path(os.environ.get("DEEPSTAPLE_IO_LIB", ""))):
+        if cand and cand.is_file():
+            try:
+                lib = ctypes.CDLL(str(cand))
+                lib.ds_load_nifti_f32.restype = ctypes.c_int
+                lib.ds_load_nifti_f32.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_longlong),  # out dims[3]
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),  # out buffer
+                ]
+                lib.ds_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+                _LIB = lib
+                break
+            except OSError:
+                continue
+    return _LIB
+
+
+def try_native_load(path) -> np.ndarray:
+    """Load a 3D NIfTI volume as float64 (nibabel get_fdata semantics)."""
+    lib = _find_lib()
+    if lib is not None:
+        dims = (ctypes.c_longlong * 3)()
+        buf = ctypes.POINTER(ctypes.c_float)()
+        rc = lib.ds_load_nifti_f32(str(path).encode(), dims, ctypes.byref(buf))
+        if rc == 0:
+            n = dims[0] * dims[1] * dims[2]
+            arr = np.ctypeslib.as_array(buf, shape=(n,)).copy()
+            lib.ds_free(buf)
+            # C++ loader emits C-order (row-major) over (d0, d1, d2) with d0
+            # fastest (Fortran voxel order), matching the Python reader.
+            return arr.reshape((dims[0], dims[1], dims[2]), order="F").astype(np.float64)
+    return load_nifti(path).get_fdata()

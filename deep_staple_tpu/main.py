@@ -1,0 +1,68 @@
+"""Experiment driver CLI.
+
+Capability parity with `main_deep_staple.py`'s L7 layer: `normal_run`
+(:1133-1144), grid `sweep_run` (:1099-1181), config overrides via CLI flags
+(the reference has none for training; added here).
+
+Usage:
+    python -m deep_staple_tpu.main --epochs 40 --reg-state acummulate_every_third_deeds_FT2_MT1
+    python -m deep_staple_tpu.main --do-sweep true
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import time
+
+from .core.config import TrainConfig, add_cli_args
+from .train.driver import train_dl
+from .train.prepare import prepare_data
+
+# Grid sweep spec, mirroring sweep_config_dict (`main_deep_staple.py:1099-1130`).
+SWEEP_PARAMETERS = {
+    "use_risk_regularization": [False, True],
+    "use_fixed_weighting": [False, True],
+}
+SWEEP_METRIC = "scores/val_dice_mean_tumour_fold0"  # goal: maximize
+
+
+def normal_run(config: TrainConfig, run_name: str | None = None):
+    run_name = run_name or f"run-{int(time.time())}"
+    print("Running", run_name)
+    dataset, atlas_count = prepare_data(config)
+    return train_dl(run_name, config, dataset, atlas_count)
+
+
+def sweep_run(config: TrainConfig):
+    """Grid sweep over SWEEP_PARAMETERS; returns {override_tuple: results}."""
+    keys = list(SWEEP_PARAMETERS.keys())
+    all_results = {}
+    best = (None, float("-inf"))
+    for values in itertools.product(*(SWEEP_PARAMETERS[k] for k in keys)):
+        overrides = dict(zip(keys, values))
+        cfg = config.replace(**overrides)
+        run_name = "sweep-" + "-".join(f"{k}={v}" for k, v in overrides.items())
+        results = normal_run(cfg, run_name)
+        all_results[tuple(values)] = results
+        writer = results[list(results)[0]]["writer"]
+        vals = [r.get(SWEEP_METRIC) for r in writer.history if SWEEP_METRIC in r]
+        score = max(v for v in vals if v == v) if vals else float("-inf")
+        if score > best[1]:
+            best = (overrides, score)
+    print(f"Best sweep config: {best[0]} ({SWEEP_METRIC}={best[1]:.4f})")
+    return all_results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="DeepSTAPLE-TPU training")
+    add_cli_args(parser)
+    args = parser.parse_args(argv)
+    config = TrainConfig.from_dict(vars(args))
+    if config.do_sweep:
+        return sweep_run(config)
+    return normal_run(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Device-side, PRNG-keyed augmentation engine.
+
+Re-implements the reference's augmentation pipeline
+(`deep_staple/utils/torch_utils.py:94-251`, used from
+`HybridIdLoader.py:482-505`) as pure JAX so it runs *inside* the jitted train
+step on TPU instead of per-sample on the host:
+
+  1. additive Gaussian noise on the image (`augmentNoise`, :94-95),
+  2. optional pre-interpolation (x1.5 train / x2.0 eval),
+  3. a random b-spline displacement field: random control points smoothed by
+     three stride-1 3x3(x3) average pools (count_include_pad=True), upsampled
+     (bi/tri)linear align_corners=True (:147-165 / :190-209),
+  4. a random affine displacement via `affine_grid` (:167-176 / :211-227),
+  5. one composed `grid_sample` warp — image (bi/tri)linear with border
+     padding, labels nearest with zeros padding (:232-246). The same grid is
+     reused for the clean label and the modified label
+     (`HybridIdLoader.py:325-333`).
+
+Differences from the reference (intentional, jit-compatible):
+  * Bernoulli decisions (bspline/affine probability) are traced: both
+    displacement branches are computed and masked by the coin flips, so the
+    step compiles once. XLA DCEs nothing, but the field computation is tiny
+    relative to the warp itself.
+  * Randomness comes from `jax.random` keys rather than global torch state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .grid_sample import affine_grid_2d, affine_grid_3d, grid_sample_2d, grid_sample_3d
+from .resample import interpolate_sample, resize_nd
+
+_KERNEL_SIZE = 3
+
+
+class AugmentParams(NamedTuple):
+    """Hyperparameters of `HybridIdLoader.augment` (`HybridIdLoader.py:482-487`)."""
+
+    noise_strength: float = 0.05
+    bspline_num_ctl_points: int = 6
+    bspline_strength: float = 0.03
+    bspline_probability: float = 0.95
+    affine_strength: float = 0.2
+    add_affine_translation: float = 0.0
+    affine_probability: float = 0.45
+
+
+def augment_noise(key, b_image, strength: float = 0.05):
+    """`augmentNoise` (`torch_utils.py:94-95`)."""
+    return b_image + strength * jax.random.normal(key, b_image.shape, b_image.dtype)
+
+
+def _avg_pool_same(x, ndim: int):
+    """Stride-1 'same' average pooling with zero padding counted in the mean
+    (torch AvgPool default count_include_pad=True)."""
+    window = (1, 1) + (_KERNEL_SIZE,) * ndim
+    pad = ((0, 0), (0, 0)) + ((_KERNEL_SIZE // 2, _KERNEL_SIZE // 2),) * ndim
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, (1,) * (ndim + 2), pad)
+    return summed / float(_KERNEL_SIZE**ndim)
+
+
+def _bspline_field_3d(key, B, spatial, num_ctl: int, strength: float):
+    D, H, W = spatial
+    ctl = jax.random.normal(key, (B, 3, num_ctl, num_ctl, num_ctl), jnp.float32)
+    # Reference quirk kept verbatim: channel i is scaled by (D, H, W)[i] even
+    # though the grid's last-dim order is (x=W, y=H, z=D) (`torch_utils.py:196-209`).
+    dim_strength = jnp.array([D, H, W], jnp.float32) * strength
+    ctl = ctl * dim_strength.reshape(1, 3, 1, 1, 1)
+    for _ in range(3):
+        ctl = _avg_pool_same(ctl, 3)
+    disp = resize_nd(ctl, (D, H, W), mode="linear", align_corners=True)
+    return jnp.transpose(disp, (0, 2, 3, 4, 1))  # (B, D, H, W, 3)
+
+
+def _bspline_field_2d(key, B, spatial, num_ctl: int, strength: float):
+    H, W = spatial
+    ctl = jax.random.normal(key, (B, 2, num_ctl, num_ctl), jnp.float32)
+    # Extra *.5 factor in 2D to match 3D strength (`torch_utils.py:153-154`).
+    dim_strength = jnp.array([H, W], jnp.float32) * strength * 0.5
+    ctl = ctl * dim_strength.reshape(1, 2, 1, 1)
+    for _ in range(3):
+        ctl = _avg_pool_same(ctl, 2)
+    disp = resize_nd(ctl, (H, W), mode="linear", align_corners=True)
+    return jnp.transpose(disp, (0, 2, 3, 1))
+
+
+def make_augment_grid(
+    key,
+    batch: int,
+    spatial,
+    params: AugmentParams,
+    use_2d: bool = False,
+):
+    """Build the composed random warp grid (identity + bspline + affine).
+
+    The reference augments each sample in its own `spatial_augment` call
+    (`HybridIdLoader.py:325-333`), so coin flips and translation directions
+    here are drawn *per sample* ((B,)-shaped), vectorizing that behavior.
+    """
+    k_coin_b, k_coin_a, k_bspline, k_affine, k_dir = jax.random.split(key, 5)
+    do_bspline = (
+        jax.random.uniform(k_coin_b, (batch,)) < params.bspline_probability
+    ).astype(jnp.float32)
+    do_affine = (
+        jax.random.uniform(k_coin_a, (batch,)) < params.affine_probability
+    ).astype(jnp.float32)
+
+    if use_2d:
+        H, W = spatial
+        coin_b = do_bspline.reshape(batch, 1, 1, 1)
+        coin_a = do_affine.reshape(batch, 1, 1, 1)
+        eye = jnp.broadcast_to(jnp.eye(2, 3, dtype=jnp.float32), (batch, 2, 3))
+        id_grid = affine_grid_2d(eye, (H, W), align_corners=False)
+        bspline = _bspline_field_2d(
+            k_bspline, batch, (H, W), params.bspline_num_ctl_points, params.bspline_strength
+        )
+        theta = eye + params.affine_strength * jax.random.normal(k_affine, (batch, 2, 3), jnp.float32)
+        alpha = jax.random.uniform(k_dir, (batch,)) * 2 * jnp.pi
+        offset = jnp.stack([jnp.cos(alpha), jnp.sin(alpha)], axis=-1)
+        theta = theta.at[:, :, -1].set(params.add_affine_translation * offset)
+        affine_disp = affine_grid_2d(theta, (H, W), align_corners=False)
+    else:
+        D, H, W = spatial
+        coin_b = do_bspline.reshape(batch, 1, 1, 1, 1)
+        coin_a = do_affine.reshape(batch, 1, 1, 1, 1)
+        eye = jnp.broadcast_to(jnp.eye(3, 4, dtype=jnp.float32), (batch, 3, 4))
+        id_grid = affine_grid_3d(eye, (D, H, W), align_corners=False)
+        bspline = _bspline_field_3d(
+            k_bspline, batch, (D, H, W), params.bspline_num_ctl_points, params.bspline_strength
+        )
+        theta = eye + params.affine_strength * jax.random.normal(k_affine, (batch, 3, 4), jnp.float32)
+        angles = jax.random.uniform(k_dir, (batch, 2)) * 2 * jnp.pi
+        t_ang, phi = angles[:, 0], angles[:, 1]
+        offset = jnp.stack(
+            [jnp.cos(phi) * jnp.sin(t_ang), jnp.sin(phi) * jnp.sin(t_ang), jnp.cos(t_ang)], axis=-1
+        )
+        theta = theta.at[:, :, -1].set(params.add_affine_translation * offset)
+        affine_disp = affine_grid_3d(theta, (D, H, W), align_corners=False)
+
+    return id_grid + coin_b * bspline + coin_a * (affine_disp - id_grid)
+
+
+def warp_with_grid(b_image, b_label, grid, use_2d: bool = False):
+    """Apply a warp grid: image bilinear/border, label nearest/zeros
+    (`torch_utils.py:232-246`). Inputs are (B, *spatial) without channel dim."""
+    sample = grid_sample_2d if use_2d else grid_sample_3d
+    img_out = None
+    lbl_out = None
+    if b_image is not None:
+        img_out = sample(
+            b_image[:, None].astype(jnp.float32), grid, mode="bilinear", padding_mode="border",
+            align_corners=False,
+        )[:, 0]
+    if b_label is not None:
+        lbl_out = sample(
+            b_label[:, None].astype(jnp.float32), grid, mode="nearest", padding_mode="zeros",
+            align_corners=False,
+        )[:, 0].astype(jnp.int32)
+    return img_out, lbl_out
+
+
+def spatial_augment(
+    key,
+    b_image=None,
+    b_label=None,
+    params: AugmentParams = AugmentParams(),
+    pre_interpolation_factor: Optional[float] = None,
+    use_2d: bool = False,
+    b_grid_override=None,
+):
+    """Full `spatial_augment` (`torch_utils.py:99-251`): optional
+    pre-interpolation, composed random grid (unless overridden), warp.
+
+    Returns (image, label, grid) like the reference so the same grid can be
+    re-applied to the modified label.
+    """
+    if pre_interpolation_factor:
+        b_image, b_label = interpolate_sample(b_image, b_label, pre_interpolation_factor, use_2d)
+
+    ref = b_image if b_image is not None else b_label
+    batch = ref.shape[0]
+    spatial = ref.shape[1:]
+
+    if b_grid_override is None:
+        grid = make_augment_grid(key, batch, spatial, params, use_2d=use_2d)
+    else:
+        grid = b_grid_override
+
+    img_out, lbl_out = warp_with_grid(b_image, b_label, grid, use_2d=use_2d)
+    return img_out, lbl_out, grid
+
+
+def augment_sample_pair(
+    key,
+    b_image,
+    b_label,
+    b_modified_label,
+    params: AugmentParams = AugmentParams(),
+    pre_interpolation_factor: float = 2.0,
+    use_2d: bool = False,
+):
+    """`HybridIdLoader.augment` + shared-grid modified-label warp
+    (`HybridIdLoader.py:325-333,482-505`): noise on image, one spatial warp
+    applied to image, clean label, and modified label."""
+    k_noise, k_spatial = jax.random.split(key)
+    b_image = augment_noise(k_noise, b_image, params.noise_strength)
+    b_image, b_label, grid = spatial_augment(
+        k_spatial, b_image, b_label, params,
+        pre_interpolation_factor=pre_interpolation_factor, use_2d=use_2d,
+    )
+    _, b_modified_label, _ = spatial_augment(
+        k_spatial, None, b_modified_label, params,
+        pre_interpolation_factor=pre_interpolation_factor, use_2d=use_2d,
+        b_grid_override=grid,
+    )
+    return b_image, b_label, b_modified_label, grid

@@ -1,0 +1,44 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-process single-GPU (`CUDA_VISIBLE_DEVICES='0'`,
+`main_deep_staple.py:35`) with no distributed backend (SURVEY.md §2.7). The
+TPU framework scales through GSPMD: batches are sharded over a ('data',) mesh
+axis and the jitted train step runs unchanged — XLA inserts the collectives
+(gradient psum, BN-stat all-reduce, DP scatter-add psum) over ICI.
+
+Axes:
+  data  — data parallelism (batch axis).
+  space — spatial sharding of the volume W axis for whole-volume work
+          (halo-exchanged convs; see parallel/spatial.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, space: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if data is None:
+        data = len(devices) // space
+    devs = np.asarray(devices[: data * space]).reshape(data, space)
+    return Mesh(devs, axis_names=("data", "space"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Shard every batch array over the 'data' axis (dim 0)."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_state(state, mesh: Mesh):
+    sh = NamedSharding(mesh, P())
+    return jax.device_put(state, sh)

@@ -1,0 +1,353 @@
+"""Training driver: folds -> epochs -> fused device steps.
+
+Capability parity with `train_DL` (`main_deep_staple.py:491-1086`):
+deterministic split (every atlas_count-th 3D idx of the first num_val_images
+fixed images is validation, :554-558 — the KFold object the reference builds
+and then discards is omitted deliberately, see SURVEY.md §7 "known bugs"),
+optional label disturbance, per-sample metric precompute (class weights,
+fixed weighting), epoch/batch loop with the reference's scheduler quirk
+(ExponentialLR stepped per batch only in epochs where epx % atlas_count == 0,
+:794-795), per-epoch validation at eval scale, DP<->dice correlations,
+periodic checkpointing, and the train_label_snapshot export.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DataParamMode, TrainConfig
+from ..core.determinism import reset_determinism
+from ..models import MobileNetLRASPP3D, LRASPPMobileNetV3Large2D
+from ..ops.dice import batch_dice_over_all, batch_dice_per_class, dice3d, dice2d
+from ..ops.resample import interpolate_sample
+from ..utils.logging import MetricWriter, get_global_idx, log_class_dices, log_data_parameter_stats
+from .checkpoint import checkpoint_exists, restore_checkpoint, save_checkpoint
+from .optim import exp_lr, cosine_warm_restarts_lr
+from .snapshot import export_train_label_snapshot
+from .state import create_state
+from .step import make_eval_step, make_train_step
+
+
+def pearson_corr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.std() == 0 or b.std() == 0:
+        return float("nan")
+    return float(np.corrcoef(a, b)[0, 1])
+
+
+def spearman_corr(a, b):
+    """Spearman rho without scipy: Pearson on average ranks."""
+
+    def _rank(x):
+        order = np.argsort(x)
+        ranks = np.empty_like(order, dtype=np.float64)
+        ranks[order] = np.arange(len(x))
+        # average ties
+        vals, inv, counts = np.unique(x, return_inverse=True, return_counts=True)
+        csum = np.cumsum(counts) - 1
+        start = csum - counts + 1
+        avg = (start + csum) / 2.0
+        return avg[inv]
+
+    return pearson_corr(_rank(np.asarray(a)), _rank(np.asarray(b)))
+
+
+def make_model(config: TrainConfig, num_classes: int):
+    in_ch = 12 if config.use_mind else 1
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
+    if config.use_2d_normal_to is not None:
+        return LRASPPMobileNetV3Large2D(num_classes=num_classes, dtype=dtype), in_ch
+    return (
+        MobileNetLRASPP3D(
+            num_classes=num_classes,
+            use_checkpointing=config.use_checkpointing,
+            dtype=dtype,
+            axis_name=None,
+        ),
+        in_ch,
+    )
+
+
+def precompute_sample_metrics(dataset, train_idxs, num_classes: int, use_2d: bool, batch: int = 4):
+    """Per-sample dice(label vs modified) + gt voxel count + class bincount at
+    the x2.0 eval scale (reference :626-656 computes on eval-mode samples)."""
+    dice_fn = dice2d if use_2d else dice3d
+
+    @jax.jit
+    def _metrics(lbl, mod):
+        lbl2 = interpolate_sample(None, lbl, 2.0, use_2d)[1]
+        mod2 = interpolate_sample(None, mod, 2.0, use_2d)[1]
+        dsc = dice_fn(
+            jax.nn.one_hot(lbl2, num_classes, dtype=jnp.int32),
+            jax.nn.one_hot(mod2, num_classes, dtype=jnp.int32),
+            one_hot_torch_style=True,
+            nan_for_unlabeled_target=False,
+        )
+        reduce_axes = tuple(range(1, mod2.ndim))
+        gt_num = jnp.sum(mod2 > 0, axis=reduce_axes).astype(jnp.float32)
+        bn = jnp.bincount(mod2.reshape(-1), length=num_classes)
+        return dsc, gt_num, bn
+
+    n = len(dataset)
+    wise_dice = np.zeros((n, num_classes), np.float32)
+    gt_num = np.zeros((n,), np.float32)
+    bn_count = np.zeros((num_classes,), np.int64)
+
+    dataset.eval(use_modified=True)
+    idx_list = [int(i) for i in train_idxs]
+    for s in range(0, len(idx_list), batch):
+        chunk = idx_list[s : s + batch]
+        hb = dataset.sample_batch(chunk, use_modified=True)
+        dsc, gts, bn = _metrics(jnp.asarray(hb["label"]), jnp.asarray(hb["modified_label"]))
+        wise_dice[chunk] = np.asarray(dsc)
+        gt_num[chunk] = np.asarray(gts)
+        bn_count += np.asarray(bn, np.int64)
+
+    class_weights = 1.0 / np.power(bn_count.astype(np.float64), 0.35)
+    class_weights /= class_weights.mean()
+    fixed_weighting = np.log(gt_num + np.e) + np.e
+    return wise_dice, gt_num, bn_count, class_weights.astype(np.float32), fixed_weighting.astype(np.float32)
+
+
+def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writer: MetricWriter | None = None):
+    """Returns a dict with final state, metrics history, and snapshot path."""
+    reset_determinism(config.seed)
+    atlas_count = atlas_count if atlas_count is not None else config.atlas_count
+    writer = writer or MetricWriter(
+        jsonl_path=str(Path(config.output_dir) / f"{run_name}_metrics.jsonl") if config.log_jsonl else None,
+    )
+
+    use_dp = config.data_param_mode == DataParamMode.INSTANCE_PARAMS
+    use_2d = config.use_2d_normal_to is not None
+    num_classes = len(dataset.label_tags)
+    results = {}
+
+    num_folds = 1 if config.only_first_fold or config.fold_override is not None else config.num_folds
+    fold_range = (
+        [config.fold_override] if config.fold_override is not None else list(range(num_folds))
+    )
+
+    for fold_idx in fold_range:
+        if config.debug:
+            num_val_images, fold_atlas_count = 2, 1
+        else:
+            num_val_images, fold_atlas_count = config.num_val_images, atlas_count
+
+        all_len = dataset.__len__(use_2d_override=False)
+        val_3d_idxs = list(range(0, min(num_val_images * fold_atlas_count, all_len), fold_atlas_count))
+        train_3d_idxs = list(range(min(num_val_images * fold_atlas_count, all_len), all_len))
+
+        if use_2d:
+            train_2d_ids = []
+            for id_dict in dataset.get_id_dicts():
+                if id_dict["3d_dataset_idx"] in set(train_3d_idxs) and id_dict["2d_id"] in dataset.label_data_2d:
+                    train_2d_ids.append(id_dict["2d_id"])
+            train_idxs = np.asarray(dataset.switch_2d_identifiers(train_2d_ids))
+        else:
+            train_idxs = np.asarray(train_3d_idxs)
+
+        print(f"Fold {fold_idx}: {len(train_idxs)} train instances, {len(val_3d_idxs)} val images")
+
+        # --- optional label disturbance (reference :564-587) ---
+        if config.disturbed_percentage > 0.0:
+            _, _, all_mod = dataset.get_data()
+            sums = all_mod[train_idxs].reshape(len(train_idxs), -1).sum(-1)
+            non_empty = train_idxs[sums > 0]
+            k = int(len(non_empty) * config.disturbed_percentage)
+            proposed = np.random.choice(non_empty, size=k, replace=False)
+            dataset.disturb_idxs(
+                proposed,
+                disturbance_mode=config.disturbance_mode,
+                disturbance_strength=config.disturbance_strength,
+            )
+        disturbed_bool_vect = np.zeros(len(dataset), np.float32)
+        if dataset.disturbed_idxs:
+            disturbed_bool_vect[np.asarray(dataset.disturbed_idxs)] = 1.0
+        clean_idxs = train_idxs[~np.isin(train_idxs, dataset.disturbed_idxs)]
+        print("Disturbed indexes:", sorted(dataset.disturbed_idxs))
+
+        # --- per-sample metric precompute (reference :626-656) ---
+        wise_dice, gt_num, bn_count, class_weights, fixed_weighting = precompute_sample_metrics(
+            dataset, train_idxs, num_classes, use_2d
+        )
+
+        # --- model + state ---
+        model, in_ch = make_model(config, num_classes)
+        sample0 = dataset[int(train_idxs[0])]
+        base_spatial = sample0["image"].shape
+        init_spatial = tuple(int(s * 1.5) for s in base_spatial) if not use_2d else base_spatial
+        input_shape = (1,) + init_spatial + (in_ch,)
+
+        dp_override_values = None
+        if use_dp and config.override_embedding_weights:
+            from ..data.snapshot_io import load_snapshot
+
+            snap = load_snapshot(config.fixed_weight_file)
+            ids = dataset.get_2d_ids() if use_2d else dataset.get_3d_ids()
+            dp_override_values = np.zeros(len(dataset), np.float32)
+            for _id, w in zip(snap["d_ids"], np.asarray(snap["data_parameters"]).reshape(-1)):
+                if _id in ids:
+                    dp_override_values[ids.index(_id)] = w
+
+        state, tx = create_state(
+            model,
+            input_shape,
+            dataset_len=len(dataset),
+            seed=config.seed,
+            init_inst_param=config.init_inst_param,
+            use_data_params=use_dp,
+            dp_override_values=dp_override_values,
+        )
+
+        epx_start = config.checkpoint_epx or 0
+        ckpt_name = config.checkpoint_name or run_name
+        ckpt_path = Path(config.mdl_save_prefix) / f"{ckpt_name}_fold{fold_idx}_epx{epx_start}"
+        if checkpoint_exists(ckpt_path):
+            print(f"Restoring checkpoint from {ckpt_path}")
+            state = restore_checkpoint(ckpt_path, state)
+
+        pre_interp = dataset.pre_interpolation_factor
+        train_step = make_train_step(
+            model, tx, config, class_weights, fixed_weighting, pre_interpolation_factor=pre_interp
+        )
+        eval_step = make_eval_step(model, config, num_classes)
+
+        rng = jax.random.PRNGKey(config.seed + 1000 * fold_idx)
+        t_start = time.time()
+        sched_steps = int(np.asarray(state.sched_steps))
+        step_times = []
+
+        for epx in range(epx_start, config.epochs):
+            global_idx = get_global_idx(fold_idx, epx, config.epochs)
+            dataset.train(use_modified=True)
+
+            perm = np.random.permutation(train_idxs)
+            epx_losses, dices, class_dices = [], [], []
+
+            for bstart in range(0, len(perm), config.batch_size):
+                bidx = perm[bstart : bstart + config.batch_size]
+                host_batch = dataset.sample_batch(bidx)
+                batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+                lr = (
+                    exp_lr(config.lr, sched_steps)
+                    if not use_2d
+                    else cosine_warm_restarts_lr(config.lr, sched_steps)
+                )
+                rng, step_rng = jax.random.split(rng)
+                t0 = time.time()
+                state, metrics = train_step(state, batch, lr, step_rng)
+                metrics = jax.tree.map(np.asarray, metrics)
+                step_times.append(time.time() - t0)
+
+                # Scheduler quirk: step per batch when epx % atlas_count == 0 (:794-795).
+                if config.use_scheduling and epx % fold_atlas_count == 0:
+                    sched_steps += 1
+
+                epx_losses.append(float(metrics["loss"]))
+                b_dice = metrics["dice"]
+                dices.append(batch_dice_over_all(b_dice, exclude_bg=True))
+                class_dices.append(batch_dice_per_class(b_dice, dataset.label_tags, exclude_bg=True))
+
+                # DP scatter figures every 10 batches (reference :797-806)
+                batch_no = bstart // config.batch_size
+                if use_dp and config.save_dp_figures and batch_no % 10 == 0:
+                    from ..utils.visualization import save_parameter_figure
+
+                    train_params = np.asarray(state.dp_params)[train_idxs]
+                    pcc = pearson_corr(train_params, wise_dice[train_idxs][:, 1])
+                    fig_path = (
+                        Path(config.output_dir)
+                        / f"{run_name}_fold{fold_idx}_figures"
+                        / f"dp_figure_epx{epx:03d}_batch{batch_no:03d}.png"
+                    )
+                    save_parameter_figure(
+                        fig_path, run_name,
+                        f"corr. coeff. DP vs. dice(expert label, train gt): {pcc:4f}",
+                        train_params, train_params / fixed_weighting[train_idxs],
+                        wise_dice[train_idxs][:, 1],
+                    )
+
+                if config.debug:
+                    break
+
+            state = state.replace(sched_steps=jnp.asarray(sched_steps, jnp.int32))
+
+            # --- epoch logging (reference :811-854) ---
+            print(f"### Log epoch {epx} @ {time.time()-t_start:.2f}s")
+            writer.log({"ref_epoch_idx": epx}, step=global_idx)
+            writer.log({f"losses/loss_fold{fold_idx}": float(np.mean(epx_losses))}, step=global_idx)
+            mean_dice = float(np.nanmean(dices))
+            print(f"dice_mean_wo_bg_fold{fold_idx} {mean_dice*100:.2f}%")
+            writer.log({f"scores/dice_mean_wo_bg_fold{fold_idx}": mean_dice}, step=global_idx)
+            log_class_dices(writer, "scores/dice_mean_", f"_fold{fold_idx}", class_dices, global_idx)
+
+            if use_dp:
+                train_params = np.asarray(state.dp_params)[train_idxs]
+                order = np.argsort(train_params)
+                target_dice = wise_dice[train_idxs][:, 1]
+                pcc = pearson_corr(train_params[order], target_dice[order])
+                scc = spearman_corr(train_params[order], target_dice[order])
+                writer.log(
+                    {
+                        f"data_parameters/pearson_corr_coeff_fold{fold_idx}": pcc,
+                        f"data_parameters/spearman_corr_coeff_fold{fold_idx}": scc,
+                    },
+                    step=global_idx,
+                )
+                log_data_parameter_stats(
+                    writer, f"data_parameters/iter_stats_fold{fold_idx}", global_idx,
+                    np.asarray(state.dp_params),
+                )
+
+            if (epx % config.save_every == 0) or (epx + 1 == config.epochs):
+                _path = Path(config.mdl_save_prefix) / f"{run_name}_fold{fold_idx}_epx{epx}"
+                save_checkpoint(_path, state, config)
+
+            # --- validation (reference :876-955) ---
+            dataset.eval()
+            val_dices, val_class_dices = [], []
+            for val_idx in val_3d_idxs:
+                hb = dataset.sample_batch([val_idx], use_modified=False)
+                _, b_dice = eval_step(
+                    state, {"image": jnp.asarray(hb["image"]), "label": jnp.asarray(hb["label"])}
+                )
+                b_dice = np.asarray(b_dice)
+                val_dices.append(batch_dice_over_all(b_dice, exclude_bg=True))
+                val_class_dices.append(batch_dice_per_class(b_dice, dataset.label_tags, exclude_bg=True))
+            mean_val = float(np.nanmean(val_dices)) if val_dices else float("nan")
+            print(f"val_dice_mean_wo_bg_fold{fold_idx} {mean_val*100:.2f}%")
+            writer.log({f"scores/val_dice_mean_wo_bg_fold{fold_idx}": mean_val}, step=global_idx)
+            log_class_dices(writer, "scores/val_dice_mean_", f"_fold{fold_idx}", val_class_dices, global_idx)
+
+            if config.debug:
+                break
+
+        # --- snapshot export (reference :963-1045) ---
+        snapshot_path = None
+        if use_dp:
+            snapshot_path = (
+                Path(config.output_dir) / f"{run_name}_fold{fold_idx}_epx{epx}" / "train_label_snapshot.npz"
+            )
+            export_train_label_snapshot(
+                snapshot_path, state, model, config, dataset, train_idxs, disturbed_bool_vect,
+                save_labels=config.save_labels,
+            )
+
+        results[fold_idx] = {
+            "state": state,
+            "snapshot_path": snapshot_path,
+            "train_idxs": train_idxs,
+            "clean_idxs": clean_idxs,
+            "wise_dice": wise_dice,
+            "mean_step_time": float(np.mean(step_times[2:])) if len(step_times) > 2 else float("nan"),
+            "writer": writer,
+        }
+
+    return results

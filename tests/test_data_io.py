@@ -1,0 +1,82 @@
+"""NIfTI round-trip (Python + native C++ loader), snapshot I/O, numpy op mirrors."""
+
+import numpy as np
+import pytest
+
+from deep_staple_tpu.data.nifti import load_nifti, save_nifti
+from deep_staple_tpu.data.native_io import try_native_load, _find_lib
+from deep_staple_tpu.data.snapshot_io import save_snapshot, load_snapshot
+from deep_staple_tpu.data.np_ops import resize_nd_np, pad_to_size_np
+
+
+@pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("dtype", [np.float32, np.int16, np.uint8])
+def test_nifti_roundtrip(tmp_path, rng, suffix, dtype):
+    if np.issubdtype(dtype, np.floating):
+        vol = rng.rand(7, 6, 5).astype(dtype)
+    else:
+        vol = rng.randint(0, 100, size=(7, 6, 5)).astype(dtype)
+    p = tmp_path / f"vol{suffix}"
+    save_nifti(p, vol)
+    img = load_nifti(p)
+    np.testing.assert_allclose(img.get_fdata(), vol.astype(np.float64))
+
+
+def test_native_loader_matches_python(tmp_path, rng):
+    if _find_lib() is None:
+        pytest.skip("native lib not built")
+    vol = rng.rand(9, 7, 5).astype(np.float32)
+    p = tmp_path / "v.nii.gz"
+    save_nifti(p, vol)
+    got = try_native_load(p)
+    np.testing.assert_allclose(got, vol.astype(np.float64), rtol=1e-6)
+
+
+def test_nifti_matches_nibabel_semantics_via_torch_free_check(tmp_path, rng):
+    # Fortran voxel order: element [i, j, k] must be at offset i + ni*j + ni*nj*k.
+    vol = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    p = tmp_path / "v.nii"
+    save_nifti(p, vol)
+    raw = p.read_bytes()
+    data = np.frombuffer(raw[352:], np.float32)
+    assert data[0] == vol[0, 0, 0]
+    assert data[1] == vol[1, 0, 0]  # first axis fastest
+
+
+def test_snapshot_roundtrip(tmp_path, rng):
+    n, shape = 3, (6, 5, 4)
+    labels = (rng.rand(n, *shape) > 0.8).astype(np.int32)
+    snap = {
+        "data_parameters": rng.randn(n).astype(np.float32),
+        "disturb_flags": np.array([True, False, True]),
+        "d_ids": ["001l:m100l", "001l:m101l", "002l:m100l"],
+        "dataset_idxs": np.arange(n, dtype=np.int32),
+        "image_paths": ["a", "b", "c"],
+        "label_paths": ["d", "e", "f"],
+        "labels": labels,
+        "modified_labels": labels,
+        "train_predictions": labels[:, None],
+    }
+    p = tmp_path / "snap.npz"
+    save_snapshot(p, snap)
+    out = load_snapshot(p)
+    np.testing.assert_allclose(out["data_parameters"], snap["data_parameters"])
+    assert out["d_ids"] == snap["d_ids"]
+    np.testing.assert_array_equal(out["labels"], labels)
+    np.testing.assert_array_equal(out["train_predictions"], snap["train_predictions"])
+    np.testing.assert_array_equal(out["disturb_flags"], snap["disturb_flags"])
+
+
+def test_np_ops_match_jax_versions(rng):
+    import jax.numpy as jnp
+
+    from deep_staple_tpu.ops.resample import resize_nd, pad_to_size
+
+    x = rng.rand(9, 8, 7).astype(np.float32)
+    for mode, ac in (("nearest", False), ("linear", False), ("linear", True)):
+        a = resize_nd_np(x, (5, 12, 6), mode=mode, align_corners=ac)
+        b = np.asarray(resize_nd(jnp.asarray(x), (5, 12, 6), mode=mode, align_corners=ac))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        pad_to_size_np(x, (12, 11, 7)), np.asarray(pad_to_size(jnp.asarray(x), (12, 11, 7)))
+    )

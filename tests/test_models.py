@@ -1,0 +1,67 @@
+"""Model gates: parameter-count parity with the reference (1,228,932 at
+in=1/classes=2, `main_deep_staple.py:404` print) and forward shape contracts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_staple_tpu.models import MobileNetLRASPP3D, LRASPPMobileNetV3Large2D
+
+
+def _param_count(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False)
+    x = jnp.zeros((1, 16, 16, 10, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    return model, variables
+
+
+def test_param_count_matches_reference(model_and_vars):
+    _, variables = model_and_vars
+    assert _param_count(variables["params"]) == 1_228_932
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.zeros((2, 16, 16, 10, 1), jnp.float32)
+    out = model.apply(variables, x, train=False)["out"]
+    assert out.shape == (2, 16, 16, 10, 2)
+    assert out.dtype == jnp.float32
+
+
+def test_train_mode_updates_batch_stats(model_and_vars):
+    model, variables = model_and_vars
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 10, 1))
+    out, mutated = model.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert out["out"].shape == (1, 16, 16, 10, 2)
+    # Running stats must actually move.
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_remat_variant_matches_non_remat(model_and_vars):
+    model, variables = model_and_vars
+    remat_model = MobileNetLRASPP3D(num_classes=2, use_checkpointing=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 10, 1))
+    a = model.apply(variables, x, train=False)["out"]
+    b = remat_model.apply(variables, x, train=False)["out"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_2d_model_forward():
+    model = LRASPPMobileNetV3Large2D(num_classes=2)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(variables, x, train=False)["out"]
+    assert out.shape == (1, 32, 32, 2)
