@@ -37,9 +37,21 @@ def _eprint(*a):
     print(*a, file=sys.stderr)
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+
 def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16") -> float:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from deep_staple_tpu.core.config import TrainConfig
     from deep_staple_tpu.train.driver import make_model

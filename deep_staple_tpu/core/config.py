@@ -114,6 +114,10 @@ class TrainConfig:
     seed: int = 0
     output_dir: str = "data/output"
     log_jsonl: bool = True
+    # jax.profiler trace of training steps (SURVEY.md §5: the reference has no
+    # profiling; here a trace dir enables XLA-level step profiles).
+    profile_dir: Optional[str] = None
+    profile_epoch: int = 1  # epoch whose steps are traced
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -1,4 +1,6 @@
-from .dice import dice2d, dice3d, batch_dice_over_all, batch_dice_per_class
+from .dice import dice2d, dice3d, dice_from_int_labels, batch_dice_over_all, batch_dice_per_class
+from .morphology import dilate_label_class
+from .mind import mindssc
 from .resample import resize_nd, interpolate_sample, pad_to_size, crop_w_dim
 from .grid_sample import grid_sample_2d, grid_sample_3d, affine_grid_2d, affine_grid_3d
 from .stacking import (
@@ -10,6 +12,9 @@ from .stacking import (
 __all__ = [
     "dice2d",
     "dice3d",
+    "dice_from_int_labels",
+    "dilate_label_class",
+    "mindssc",
     "batch_dice_over_all",
     "batch_dice_per_class",
     "resize_nd",

@@ -109,12 +109,13 @@ def make_augment_grid(
         jax.random.uniform(k_coin_a, (batch,)) < params.affine_probability
     ).astype(jnp.float32)
 
+    # HBM note: id_grid + coin_a*(affine_grid(theta) - id_grid) ==
+    # affine_grid(eye + coin_a*(theta - eye)) because affine_grid is linear in
+    # theta — so only ONE full-resolution grid tensor is ever materialized
+    # (plus the b-spline field), instead of three.
     if use_2d:
         H, W = spatial
-        coin_b = do_bspline.reshape(batch, 1, 1, 1)
-        coin_a = do_affine.reshape(batch, 1, 1, 1)
         eye = jnp.broadcast_to(jnp.eye(2, 3, dtype=jnp.float32), (batch, 2, 3))
-        id_grid = affine_grid_2d(eye, (H, W), align_corners=False)
         bspline = _bspline_field_2d(
             k_bspline, batch, (H, W), params.bspline_num_ctl_points, params.bspline_strength
         )
@@ -122,26 +123,25 @@ def make_augment_grid(
         alpha = jax.random.uniform(k_dir, (batch,)) * 2 * jnp.pi
         offset = jnp.stack([jnp.cos(alpha), jnp.sin(alpha)], axis=-1)
         theta = theta.at[:, :, -1].set(params.add_affine_translation * offset)
-        affine_disp = affine_grid_2d(theta, (H, W), align_corners=False)
-    else:
-        D, H, W = spatial
-        coin_b = do_bspline.reshape(batch, 1, 1, 1, 1)
-        coin_a = do_affine.reshape(batch, 1, 1, 1, 1)
-        eye = jnp.broadcast_to(jnp.eye(3, 4, dtype=jnp.float32), (batch, 3, 4))
-        id_grid = affine_grid_3d(eye, (D, H, W), align_corners=False)
-        bspline = _bspline_field_3d(
-            k_bspline, batch, (D, H, W), params.bspline_num_ctl_points, params.bspline_strength
-        )
-        theta = eye + params.affine_strength * jax.random.normal(k_affine, (batch, 3, 4), jnp.float32)
-        angles = jax.random.uniform(k_dir, (batch, 2)) * 2 * jnp.pi
-        t_ang, phi = angles[:, 0], angles[:, 1]
-        offset = jnp.stack(
-            [jnp.cos(phi) * jnp.sin(t_ang), jnp.sin(phi) * jnp.sin(t_ang), jnp.cos(t_ang)], axis=-1
-        )
-        theta = theta.at[:, :, -1].set(params.add_affine_translation * offset)
-        affine_disp = affine_grid_3d(theta, (D, H, W), align_corners=False)
+        eff_theta = eye + do_affine[:, None, None] * (theta - eye)
+        grid = affine_grid_2d(eff_theta, (H, W), align_corners=False)
+        return grid + do_bspline.reshape(batch, 1, 1, 1) * bspline
 
-    return id_grid + coin_b * bspline + coin_a * (affine_disp - id_grid)
+    D, H, W = spatial
+    eye = jnp.broadcast_to(jnp.eye(3, 4, dtype=jnp.float32), (batch, 3, 4))
+    bspline = _bspline_field_3d(
+        k_bspline, batch, (D, H, W), params.bspline_num_ctl_points, params.bspline_strength
+    )
+    theta = eye + params.affine_strength * jax.random.normal(k_affine, (batch, 3, 4), jnp.float32)
+    angles = jax.random.uniform(k_dir, (batch, 2)) * 2 * jnp.pi
+    t_ang, phi = angles[:, 0], angles[:, 1]
+    offset = jnp.stack(
+        [jnp.cos(phi) * jnp.sin(t_ang), jnp.sin(phi) * jnp.sin(t_ang), jnp.cos(t_ang)], axis=-1
+    )
+    theta = theta.at[:, :, -1].set(params.add_affine_translation * offset)
+    eff_theta = eye + do_affine[:, None, None] * (theta - eye)
+    grid = affine_grid_3d(eff_theta, (D, H, W), align_corners=False)
+    return grid + do_bspline.reshape(batch, 1, 1, 1, 1) * bspline
 
 
 def warp_with_grid(b_image, b_label, grid, use_2d: bool = False):
@@ -205,16 +205,27 @@ def augment_sample_pair(
 ):
     """`HybridIdLoader.augment` + shared-grid modified-label warp
     (`HybridIdLoader.py:325-333,482-505`): noise on image, one spatial warp
-    applied to image, clean label, and modified label."""
+    applied to image, clean label, and modified label.
+
+    The two label warps share one nearest-neighbor gather (labels stacked as
+    channels) — half the index traffic of two separate grid_sample calls.
+    """
     k_noise, k_spatial = jax.random.split(key)
     b_image = augment_noise(k_noise, b_image, params.noise_strength)
-    b_image, b_label, grid = spatial_augment(
-        k_spatial, b_image, b_label, params,
-        pre_interpolation_factor=pre_interpolation_factor, use_2d=use_2d,
-    )
-    _, b_modified_label, _ = spatial_augment(
-        k_spatial, None, b_modified_label, params,
-        pre_interpolation_factor=pre_interpolation_factor, use_2d=use_2d,
-        b_grid_override=grid,
-    )
+
+    b_image, _ = interpolate_sample(b_image, None, pre_interpolation_factor, use_2d)
+    _, b_label = interpolate_sample(None, b_label, pre_interpolation_factor, use_2d)
+    _, b_modified_label = interpolate_sample(None, b_modified_label, pre_interpolation_factor, use_2d)
+
+    grid = make_augment_grid(k_spatial, b_image.shape[0], b_image.shape[1:], params, use_2d=use_2d)
+
+    sample = grid_sample_2d if use_2d else grid_sample_3d
+    b_image = sample(
+        b_image[:, None].astype(jnp.float32), grid, mode="bilinear", padding_mode="border",
+        align_corners=False,
+    )[:, 0]
+    both = jnp.stack([b_label, b_modified_label], axis=1).astype(jnp.float32)
+    warped = sample(both, grid, mode="nearest", padding_mode="zeros", align_corners=False)
+    b_label = warped[:, 0].astype(jnp.int32)
+    b_modified_label = warped[:, 1].astype(jnp.int32)
     return b_image, b_label, b_modified_label, grid

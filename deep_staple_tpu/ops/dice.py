@@ -63,6 +63,30 @@ def dice3d(predicted_lbls, target_lbls, one_hot_torch_style: bool, nan_for_unlab
     return _dice_nd(predicted_lbls, target_lbls, one_hot_torch_style, nan_for_unlabeled_target)
 
 
+def dice_from_int_labels(pred, target, num_classes: int, nan_for_unlabeled_target: bool = True):
+    """Per-sample/per-class Dice directly from integer label maps.
+
+    Mathematically identical to `dice3d(one_hot(pred), one_hot(target), ...)`
+    but never materializes the one-hot volumes — the per-class masks fuse into
+    three reductions per class. Used in the jitted train/eval steps where the
+    (B, *spatial, C) one-hot tensors would dominate HBM traffic.
+    """
+    reduce_axes = tuple(range(1, pred.ndim))
+    outs = []
+    for c in range(num_classes):
+        p = pred == c
+        t = target == c
+        tp = jnp.sum(jnp.logical_and(p, t), axis=reduce_axes).astype(jnp.float32)
+        pc = jnp.sum(p, axis=reduce_axes).astype(jnp.float32)
+        tc = jnp.sum(t, axis=reduce_axes).astype(jnp.float32)
+        denom = pc + tc
+        if nan_for_unlabeled_target:
+            outs.append(jnp.where(denom > 0, 2.0 * tp / jnp.where(denom > 0, denom, 1.0), jnp.nan))
+        else:
+            outs.append(2.0 * tp / (denom + 1e-10))
+    return jnp.stack(outs, axis=-1)
+
+
 def batch_dice_over_all(b_dice, exclude_bg: bool = True) -> float:
     """NaN-mean of a (B, C) dice tensor over all samples/classes.
 

@@ -227,6 +227,10 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             global_idx = get_global_idx(fold_idx, epx, config.epochs)
             dataset.train(use_modified=True)
 
+            profiling = config.profile_dir is not None and epx == config.profile_epoch
+            if profiling:
+                jax.profiler.start_trace(config.profile_dir)
+
             perm = np.random.permutation(train_idxs)
             epx_losses, dices, class_dices = [], [], []
 
@@ -276,6 +280,10 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
 
                 if config.debug:
                     break
+
+            if profiling:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {config.profile_dir}")
 
             state = state.replace(sched_steps=jnp.asarray(sched_steps, jnp.int32))
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..core.config import DataParamMode, TrainConfig
 from ..ops.augment import AugmentParams, augment_sample_pair
-from ..ops.dice import dice3d, dice2d
+from ..ops.dice import dice_from_int_labels
 from ..ops.resample import interpolate_sample
 from .losses import dp_loss_fn, weighted_cross_entropy
 from .optim import sparse_adam_update
@@ -80,7 +80,6 @@ def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighti
     """
     use_dp = config.data_param_mode == DataParamMode.INSTANCE_PARAMS
     use_2d = config.use_2d_normal_to is not None
-    dice_fn = dice2d if use_2d else dice3d
     class_weights = jnp.asarray(class_weights, jnp.float32)
     fixed_weighting = jnp.asarray(fixed_weighting, jnp.float32)
     do_augment = True  # the reference's train() path always augments (:666)
@@ -176,14 +175,11 @@ def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighti
                 state.dp_params, dp_grads, state.dp_opt_state, touched, config.lr_inst_param
             )
 
-        # Train dice vs the clean (augmented) label (reference :782-786).
+        # Train dice vs the clean (augmented) label (reference :782-786);
+        # one-hot-free formulation keeps the step HBM-light.
         pred = jnp.argmax(logits, axis=-1)
         nc = class_weights.shape[0]
-        b_dice = dice_fn(
-            jax.nn.one_hot(pred, nc, dtype=jnp.int32),
-            jax.nn.one_hot(lbl, nc, dtype=jnp.int32),
-            one_hot_torch_style=True,
-        )
+        b_dice = dice_from_int_labels(pred, lbl, nc)
 
         metrics.update(ce_loss=ce_loss, dice=b_dice)
         metrics["loss"] = metrics.get("dp_loss", ce_loss)
@@ -239,11 +235,7 @@ def make_eval_step(model, config: TrainConfig, num_classes: int,
                 use_mind=config.use_mind, use_2d=False,
             )
             pred = jnp.argmax(logits, axis=-1)
-        b_dice = dice3d(
-            jax.nn.one_hot(pred, num_classes, dtype=jnp.int32),
-            jax.nn.one_hot(lbl, num_classes, dtype=jnp.int32),
-            one_hot_torch_style=True,
-        )
+        b_dice = dice_from_int_labels(pred, lbl, num_classes)
         return pred, b_dice
 
     return eval_step
