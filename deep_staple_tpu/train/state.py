@@ -8,6 +8,7 @@ counter, and everything else folds into one pytree checkpointed atomically.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -40,7 +41,11 @@ def create_state(
 ) -> tuple[DeepStapleState, Any]:
     """Initialize model params + DP vector; returns (state, optimizer)."""
     rng = jax.random.PRNGKey(seed)
-    variables = model.init({"params": rng}, jnp.zeros(input_shape, jnp.float32), train=False)
+    # jit the init: eager flax init dispatches hundreds of tiny ops, which is
+    # painfully slow over a remote-TPU tunnel; one jitted (and persistently
+    # cached) executable instead.
+    init_fn = jax.jit(partial(model.init, train=False))
+    variables = init_fn({"params": rng}, jnp.zeros(input_shape, jnp.float32))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
