@@ -85,6 +85,10 @@ def _staple_em(decisions, prior, max_iterations: int, epsilon: float):
     p, q, w, iters, _ = jax.lax.while_loop(
         cond, body, (p0, q0, w0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf))
     )
+    # Posterior from the FINAL (p, q) — the same contract as the fused Pallas
+    # implementation (which never materializes w inside the loop) and the C++
+    # cross-check.
+    _, _, w = em_iter(p, q)
     return p, q, w, iters
 
 

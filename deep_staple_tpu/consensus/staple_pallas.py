@@ -1,0 +1,174 @@
+"""Pallas TPU kernel: fused STAPLE EM iteration.
+
+The XLA formulation of one EM iteration (`consensus/staple.py`) reads the
+decisions matrix D (R raters x V voxels) twice — once for the E-step
+(per-voxel posterior w = sigmoid(base + coef . D)) and once for the M-step
+(wd_r = sum_j d_rj w_j). For production-scale fusion (30 raters x 256x256x100
+voxels x 200 iterations) D traffic dominates; this kernel fuses both steps
+into ONE pass per iteration:
+
+    per block of voxels (R x BLK in VMEM):
+        t  = base + coef^T D_blk          (1, R) x (R, BLK)  -> MXU
+        w  = sigmoid(t)                                     -> VPU
+        wd += D_blk w                      (R, BLK) x (BLK, 1) -> MXU
+        ws += sum(w)
+
+Padding: R is zero-padded to a sublane multiple (zero rows have zero coef and
+produce zero wd), V to a lane multiple (padded voxels are masked out of both
+accumulators via an iota mask against the true V).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too; kernels run with interpret=True there
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+BLK = 2048
+
+
+def _em_iter_kernel(nv_ref, coef_ref, base_ref, d_ref, wd_ref, ws_ref):
+    """Grid: (num_blocks,). d block (R_pad, BLK); outputs per block."""
+    i = pl.program_id(0)
+    n_valid = nv_ref[0]
+    d = d_ref[:]  # (R_pad, BLK)
+    coef = coef_ref[:]  # (R_pad, 1)
+    t = base_ref[0] + jax.lax.dot_general(
+        coef, d, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, BLK)
+    w = jax.nn.sigmoid(t)
+    # mask out voxels past the true V
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, d.shape[1]), 1) + i * d.shape[1]
+    w = jnp.where(col < n_valid, w, 0.0)
+    wd_ref[0, :] = jax.lax.dot_general(
+        d, w[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ws_ref[0, 0] = jnp.sum(w)
+
+
+def em_iteration(d_padded, coef, base, n_valid: int):
+    """One fused E+M pass.
+
+    Args:
+        d_padded: (R_pad, V_pad) f32 decisions (zero-padded).
+        coef: (R_pad,) f32 = log(p/(1-p)) - log((1-q)/q) per rater.
+        base: scalar f32 = log a0 - log b0 (prior + product constants).
+        n_valid: true voxel count V.
+    Returns:
+        wd: (R_pad,) sum_j d_rj w_j;  ws: scalar sum_j w_j.
+    """
+    R_pad, V_pad = d_padded.shape
+    nblk = V_pad // BLK
+    kernel = pl.pallas_call(
+        _em_iter_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R_pad, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, R_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, 1), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )
+    wd_parts, ws_parts = kernel(
+        jnp.asarray([n_valid], jnp.int32),
+        coef.reshape(R_pad, 1).astype(jnp.float32),
+        jnp.asarray([base], jnp.float32),
+        d_padded,
+    )
+    return jnp.sum(wd_parts, axis=0), jnp.sum(ws_parts)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _staple_em_pallas(decisions, prior, max_iterations: int, epsilon: float):
+    R, V = decisions.shape
+    R_pad = _round_up(max(R, 8), 8)
+    V_pad = _round_up(V, BLK)
+    d = jnp.zeros((R_pad, V_pad), jnp.float32).at[:R, :V].set(decisions.astype(jnp.float32))
+    d_sum = jnp.sum(d, axis=1)  # (R_pad,) zero rows stay zero
+    rater_mask = (jnp.arange(R_pad) < R)
+
+    eps = 1e-12
+
+    def coefs(p, q):
+        # max-guarded logs (NOT clip: in f32, clip(p, eps, 1-eps) rounds
+        # 1-1e-12 back to exactly 1.0 and log1p(-p) underflows to -inf)
+        log_p = jnp.log(jnp.maximum(p, eps))
+        log_1mp = jnp.log(jnp.maximum(1 - p, eps))
+        log_q = jnp.log(jnp.maximum(q, eps))
+        log_1mq = jnp.log(jnp.maximum(1 - q, eps))
+        coef = jnp.where(rater_mask, (log_p - log_1mp) - (log_1mq - log_q), 0.0)
+        base = (
+            jnp.log(prior)
+            - jnp.log1p(-prior)
+            + jnp.sum(jnp.where(rater_mask, log_1mp - log_q, 0.0))
+        )
+        return coef, base
+
+    def body(carry):
+        p, q, it, _ = carry
+        coef, base = coefs(p, q)
+        wd, ws = em_iteration(d, coef, base, V)
+        new_p = wd / jnp.maximum(ws, eps)
+        new_q = ((V - ws) - (d_sum - wd)) / jnp.maximum(V - ws, eps)
+        new_p = jnp.where(rater_mask, new_p, p)
+        new_q = jnp.where(rater_mask, new_q, q)
+        delta = jnp.sum(jnp.abs(new_p - p) + jnp.abs(new_q - q))
+        return new_p, new_q, it + 1, delta
+
+    def cond(carry):
+        _, _, it, delta = carry
+        return jnp.logical_and(it < max_iterations, delta > epsilon)
+
+    p0 = jnp.full((R_pad,), 0.99999, jnp.float32)
+    q0 = jnp.full((R_pad,), 0.99999, jnp.float32)
+    p, q, iters, _ = jax.lax.while_loop(cond, body, (p0, q0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf)))
+
+    # final posterior for the consensus (one more E-step, XLA)
+    coef, base = coefs(p, q)
+    w = jax.nn.sigmoid(base + jnp.einsum("r,rv->v", coef, d[:, :V], preferred_element_type=jnp.float32))
+    return p[:R], q[:R], w, iters
+
+
+def staple_consensus_pallas(label_list, max_iterations: int = 200, epsilon: float = 1e-7,
+                            confidence_weight: float = 1.0, threshold: float = 0.5):
+    """Drop-in for `staple.staple_consensus` using the fused kernel."""
+    from .staple import StapleResult
+
+    stack = jnp.stack([jnp.asarray(l) for l in label_list]).astype(jnp.float32)
+    spatial = stack.shape[1:]
+    decisions = stack.reshape(stack.shape[0], -1)
+    prior = jnp.clip(confidence_weight * jnp.mean(decisions), 1e-7, 1 - 1e-7)
+    p, q, w, iters = _staple_em_pallas(decisions, prior, max_iterations, epsilon)
+    return StapleResult(
+        consensus=(w > threshold).astype(jnp.int32).reshape(spatial),
+        probabilities=w,
+        sensitivities=p,
+        specificities=q,
+        iterations=iters,
+    )

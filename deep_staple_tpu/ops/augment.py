@@ -30,6 +30,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .grid_sample import affine_grid_2d, affine_grid_3d, grid_sample_2d, grid_sample_3d
 from .resample import interpolate_sample, resize_nd
@@ -144,6 +145,79 @@ def make_augment_grid(
     return grid + do_bspline.reshape(batch, 1, 1, 1, 1) * bspline
 
 
+def _unnormalize_ac_false(coord, size: int):
+    return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+def _warp_trilinear_border(vol, grid):
+    """Fast trilinear warp, padding_mode='border', align_corners=False.
+
+    vol: (B, D, H, W) f32; grid: (B, D', H', W', 3) of (x, y, z).
+
+    TPU-tuned gather structure: the x0/x0+1 corners are adjacent in memory, so
+    instead of 8 element gathers this issues 4 `lax.gather` calls fetching
+    (1, 2) slices along W — half the index traffic and half the gather starts,
+    which is what the op is bound by (measured ~1.7 GB/s effective on element
+    gathers). Numerics identical to `grid_sample_3d(..., 'bilinear',
+    'border')` for this padding mode (coordinates are pre-clamped so
+    x0 in [0, W-1] always).
+    """
+    B, D, H, W = vol.shape
+    out_spatial = grid.shape[1:-1]
+    P = int(np.prod(out_spatial))
+
+    x = jnp.clip(_unnormalize_ac_false(grid[..., 0], W), 0, W - 1).reshape(B, P)
+    y = jnp.clip(_unnormalize_ac_false(grid[..., 1], H), 0, H - 1).reshape(B, P)
+    z = jnp.clip(_unnormalize_ac_false(grid[..., 2], D), 0, D - 1).reshape(B, P)
+
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    wx = x - x0
+    wy = y - y0
+    wz = z - z0
+    x0c = jnp.minimum(x0, W - 2)
+    at_edge = x0 == W - 1  # pair start shifted left; wx == 0 there
+
+    vf = vol.reshape(B, D * H, W)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+    )
+
+    def gather_pair(row, x0c_):
+        idx = jnp.stack([row, x0c_], axis=-1)
+        return jax.vmap(
+            lambda v, ii: jax.lax.gather(v, ii, dn, slice_sizes=(1, 2), mode="clip")
+        )(vf, idx)  # (B, P, 2)
+
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            row = jnp.minimum(z0 + dz, D - 1) * H + jnp.minimum(y0 + dy, H - 1)
+            pair = gather_pair(row, x0c)
+            p0 = jnp.where(at_edge, pair[..., 1], pair[..., 0])
+            vx = p0 * (1 - wx) + pair[..., 1] * wx
+            w = (wz if dz else 1 - wz) * (wy if dy else 1 - wy)
+            out = out + vx * w
+    return out.reshape((B,) + out_spatial)
+
+
+def _warp_nearest_zeros(vol, grid):
+    """Fast nearest warp, padding_mode='zeros', align_corners=False.
+    vol: (B, D, H, W); grid: (B, D', H', W', 3)."""
+    B, D, H, W = vol.shape
+    out_spatial = grid.shape[1:-1]
+    P = int(np.prod(out_spatial))
+
+    x = jnp.round(_unnormalize_ac_false(grid[..., 0], W)).astype(jnp.int32).reshape(B, P)
+    y = jnp.round(_unnormalize_ac_false(grid[..., 1], H)).astype(jnp.int32).reshape(B, P)
+    z = jnp.round(_unnormalize_ac_false(grid[..., 2], D)).astype(jnp.int32).reshape(B, P)
+    valid = (x >= 0) & (x < W) & (y >= 0) & (y < H) & (z >= 0) & (z < D)
+    lin = (jnp.clip(z, 0, D - 1) * H + jnp.clip(y, 0, H - 1)) * W + jnp.clip(x, 0, W - 1)
+    vals = jnp.take_along_axis(vol.reshape(B, -1), lin, axis=1)
+    return (vals * valid.astype(vol.dtype)).reshape((B,) + out_spatial)
+
+
 def warp_with_grid(b_image, b_label, grid, use_2d: bool = False):
     """Apply a warp grid: image bilinear/border, label nearest/zeros
     (`torch_utils.py:232-246`). Inputs are (B, *spatial) without channel dim."""
@@ -219,13 +293,22 @@ def augment_sample_pair(
 
     grid = make_augment_grid(k_spatial, b_image.shape[0], b_image.shape[1:], params, use_2d=use_2d)
 
-    sample = grid_sample_2d if use_2d else grid_sample_3d
-    b_image = sample(
-        b_image[:, None].astype(jnp.float32), grid, mode="bilinear", padding_mode="border",
-        align_corners=False,
-    )[:, 0]
-    both = jnp.stack([b_label, b_modified_label], axis=1).astype(jnp.float32)
-    warped = sample(both, grid, mode="nearest", padding_mode="zeros", align_corners=False)
-    b_label = warped[:, 0].astype(jnp.int32)
-    b_modified_label = warped[:, 1].astype(jnp.int32)
+    if use_2d:
+        b_image = grid_sample_2d(
+            b_image[:, None].astype(jnp.float32), grid, mode="bilinear", padding_mode="border",
+            align_corners=False,
+        )[:, 0]
+        both = jnp.stack([b_label, b_modified_label], axis=1).astype(jnp.float32)
+        warped = grid_sample_2d(both, grid, mode="nearest", padding_mode="zeros", align_corners=False)
+        b_label = warped[:, 0].astype(jnp.int32)
+        b_modified_label = warped[:, 1].astype(jnp.int32)
+    else:
+        b_image = _warp_trilinear_border(b_image.astype(jnp.float32), grid)
+        # One element-gather for BOTH labels: pack as label + 256*modified
+        # (class ids < 256), warp nearest/zeros, unpack. Halves index traffic
+        # vs a 2-channel gather and quarters it vs two separate warps.
+        packed = (b_label + 256 * b_modified_label).astype(jnp.float32)
+        warped = _warp_nearest_zeros(packed, grid).astype(jnp.int32)
+        b_label = warped % 256
+        b_modified_label = warped // 256
     return b_image, b_label, b_modified_label, grid

@@ -21,27 +21,44 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _linear_matrix(out_size: int, in_size: int, align_corners: bool, scale) -> jnp.ndarray:
+    """(out, in) interpolation matrix with torch coordinate semantics."""
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = dst * (in_size - 1) / max(out_size - 1, 1)
+    else:
+        ratio = (1.0 / scale) if scale is not None else (in_size / out_size)
+        src = np.maximum((dst + 0.5) * ratio - 0.5, 0.0)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w = src - i0
+    mat = np.zeros((out_size, in_size), np.float32)
+    mat[np.arange(out_size), i0] += 1.0 - w
+    mat[np.arange(out_size), i1] += w
+    return jnp.asarray(mat)
 
 
 def _axis_linear(x, axis: int, out_size: int, in_size: int, align_corners: bool, scale):
+    """Per-axis linear resize as a dense (out, in) matmul.
+
+    A gather/`jnp.take` formulation lowers to while-loops with
+    dynamic-update-slice on TPU (~25-50ms per resize of a feature map); the
+    interpolation-matrix contraction rides the MXU instead. The matrix is a
+    trace-time constant (indices depend only on static shapes).
+    """
     if in_size == out_size and scale in (None, 1.0):
         return x
-    dst = jnp.arange(out_size, dtype=jnp.float32)
-    if align_corners:
-        ratio = (in_size - 1) / max(out_size - 1, 1)
-        src = dst * ratio
-    else:
-        ratio = (1.0 / scale) if scale is not None else (in_size / out_size)
-        src = jnp.maximum((dst + 0.5) * ratio - 0.5, 0.0)
-    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
-    i1 = jnp.minimum(i0 + 1, in_size - 1)
-    w = (src - i0.astype(jnp.float32)).astype(x.dtype)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w = w.reshape(shape)
-    a = jnp.take(x, i0, axis=axis)
-    b = jnp.take(x, i1, axis=axis)
-    return a * (1 - w) + b * w
+    mat = _linear_matrix(out_size, in_size, align_corners, scale)
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jax.lax.dot_general(
+        moved.astype(jnp.float32), mat,
+        dimension_numbers=(((moved.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return jnp.moveaxis(out, -1, axis)
 
 
 def _axis_nearest(x, axis: int, out_size: int, in_size: int, scale):

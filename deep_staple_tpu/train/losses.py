@@ -21,14 +21,26 @@ import jax.numpy as jnp
 
 def _nll(logits, targets):
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    # one-hot multiply instead of take_along_axis: the gather's backward is a
+    # scatter-add over the full logits tensor, which lowers to a slow sorted
+    # scatter on TPU; the one-hot form is pure elementwise in both directions
+    # (C is tiny, so the extra C-x read traffic is negligible).
+    onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=logp.dtype)
+    return -jnp.sum(logp * onehot, axis=-1)
 
 
 def weighted_cross_entropy(logits, targets, class_weights):
     """torch nn.CrossEntropyLoss(weight=class_weights) semantics: weighted
-    mean = sum(w[t]*nll) / sum(w[t])."""
+    mean = sum(w[t]*nll) / sum(w[t]).
+
+    The per-voxel weight lookup is a select-sum over the (tiny) class axis
+    rather than `class_weights[targets]` — a 2-element gather indexed by 22M
+    targets costs ~175ms/step on TPU, the select is free.
+    """
     nll = _nll(logits, targets)
-    w = class_weights[targets]
+    w = 0.0
+    for c in range(class_weights.shape[0]):
+        w = w + class_weights[c] * (targets == c)
     return jnp.sum(nll * w) / jnp.sum(w)
 
 

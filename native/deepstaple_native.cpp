@@ -91,9 +91,7 @@ int ds_staple_em(const float* decisions, long long R, long long V,
 
   std::vector<double> w(V, 0.0);
   std::vector<double> a_coef(R), b_coef(R);
-  int it = 0;
-  double delta = 1e30;
-  for (; it < max_iterations && delta > epsilon; ++it) {
+  auto e_step = [&](std::vector<double>& w_out) {
     double base_a = std::log(g);
     double base_b = std::log1p(-g);
     for (long long r = 0; r < R; ++r) {
@@ -104,20 +102,26 @@ int ds_staple_em(const float* decisions, long long R, long long V,
       base_a += std::log1p(-pr);
       base_b += std::log(qr);
     }
-    // E-step
-    std::vector<double> w_new(V, 0.0);
-    for (long long v = 0; v < V; ++v) w_new[v] = base_a - base_b;
+    for (long long v = 0; v < V; ++v) w_out[v] = base_a - base_b;
     for (long long r = 0; r < R; ++r) {
       const float* row = decisions + r * V;
       const double coef = a_coef[r] - b_coef[r];
       for (long long v = 0; v < V; ++v)
-        if (row[v] > 0.5f) w_new[v] += coef;
+        if (row[v] > 0.5f) w_out[v] += coef;
     }
     double w_sum = 0.0;
     for (long long v = 0; v < V; ++v) {
-      w_new[v] = 1.0 / (1.0 + std::exp(-w_new[v]));  // sigmoid(log a - log b)
-      w_sum += w_new[v];
+      w_out[v] = 1.0 / (1.0 + std::exp(-w_out[v]));  // sigmoid(log a - log b)
+      w_sum += w_out[v];
     }
+    return w_sum;
+  };
+
+  int it = 0;
+  double delta = 1e30;
+  for (; it < max_iterations && delta > epsilon; ++it) {
+    std::vector<double> w_new(V, 0.0);
+    double w_sum = e_step(w_new);
     // M-step
     delta = 0.0;
     for (long long r = 0; r < R; ++r) {
@@ -133,6 +137,8 @@ int ds_staple_em(const float* decisions, long long R, long long V,
     }
     w.swap(w_new);
   }
+  // posterior from the FINAL (p, q) — same contract as the JAX versions
+  e_step(w);
 
   for (long long v = 0; v < V; ++v) out_w[v] = (float)w[v];
   for (long long r = 0; r < R; ++r) {
