@@ -47,7 +47,8 @@ def _enable_compile_cache():
         pass
 
 
-def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16") -> float:
+def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
+                           ool_mode: str = "strict", augment_order: str = "reference") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +61,8 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16") -> 
 
     dataset_len = 1070
     config = TrainConfig(
-        use_checkpointing=True, ool_mode="strict", compute_dtype=compute_dtype
+        use_checkpointing=True, ool_mode=ool_mode, compute_dtype=compute_dtype,
+        augment_order=augment_order,
     )
     model, _ = make_model(config, num_classes=2)
     state, tx = create_state(model, (1,) + AUG_SPATIAL + (1,), dataset_len)
@@ -93,7 +95,7 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16") -> 
         jax.block_until_ready(m["loss"])
         times.append(time.time() - t0)
     sec = float(np.median(times))
-    _eprint(f"TPU train step: {sec*1000:.1f} ms/step (median of {steps})")
+    _eprint(f"TPU train step [{ool_mode}/{augment_order}]: {sec*1000:.1f} ms/step (median of {steps})")
     return sec
 
 
@@ -147,6 +149,28 @@ def measure_consensus_fusion(cases: int = 4, raters: int = 10, spatial=(256, 256
     return vps
 
 
+def measure_staple(raters: int = 10, spatial=(256, 256, 100), iters: int = 200):
+    import jax
+    import jax.numpy as jnp
+
+    from deep_staple_tpu.consensus.staple_pallas import staple_consensus_pallas
+
+    rng = np.random.RandomState(0)
+    truth = rng.rand(*spatial) > 0.8
+    lbls = [np.roll(truth, rng.randint(-2, 3, 3), (0, 1, 2)).astype(np.int16) for _ in range(raters)]
+    res = staple_consensus_pallas(lbls, max_iterations=iters)
+    jax.block_until_ready(res.consensus)
+    t0 = time.time()
+    res = staple_consensus_pallas(lbls, max_iterations=iters)
+    jax.block_until_ready(res.consensus)
+    dt = time.time() - t0
+    n_it = int(res.iterations)
+    _eprint(
+        f"STAPLE (pallas fused EM): {dt:.2f}s for {raters} raters @ {spatial}, "
+        f"{n_it} iters ({raters*np.prod(spatial)*max(n_it,1)/dt/1e9:.1f} Gvoxel-decisions/s)"
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10)
@@ -155,10 +179,19 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     sec_tpu = measure_tpu_train_step(args.steps, args.dtype)
+    # secondary numbers (stderr): fast augmentation order, consensus, STAPLE
+    try:
+        measure_tpu_train_step(args.steps, args.dtype, ool_mode="fused", augment_order="fast")
+    except Exception as e:
+        _eprint(f"fast-order bench skipped: {e}")
     try:
         measure_consensus_fusion()
     except Exception as e:  # secondary metric; never break the headline
         _eprint(f"consensus bench skipped: {e}")
+    try:
+        measure_staple()
+    except Exception as e:
+        _eprint(f"staple bench skipped: {e}")
 
     value = 1.0 / sec_tpu
     if args.skip_baseline:

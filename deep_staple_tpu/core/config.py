@@ -108,6 +108,10 @@ class TrainConfig:
     #   (`main_deep_staple.py:723-729`).
     ool_mode: str = "strict"
     compute_dtype: str = "float32"  # 'bfloat16' recommended on TPU
+    # 'reference': interpolate-then-warp (reference-exact order);
+    # 'fast': warp at base resolution then resize — same augmentation
+    # distribution, ~3x less gather work (see ops/augment.py).
+    augment_order: str = "reference"
     use_checkpointing: bool = True
     mesh_data_axis: int = 1  # data-parallel shards (1 = single chip)
     sync_batchnorm: bool = False

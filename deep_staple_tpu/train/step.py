@@ -92,6 +92,7 @@ def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighti
             img, lbl, mod, _ = augment_sample_pair(
                 rng, img, lbl, mod, params=augment_params,
                 pre_interpolation_factor=pre_interpolation_factor, use_2d=use_2d,
+                order=config.augment_order,
             )
         else:
             img, lbl = interpolate_sample(img, lbl, 2.0, use_2d)

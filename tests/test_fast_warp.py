@@ -35,6 +35,43 @@ def test_warp_nearest_zeros_matches_grid_sample(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fast_order_equals_reference_under_identity_warp(rng):
+    from deep_staple_tpu.ops.augment import AugmentParams, augment_sample_pair
+
+    params = AugmentParams(
+        noise_strength=0.0, bspline_probability=0.0, affine_probability=0.0,
+        bspline_strength=0.0, affine_strength=0.0,
+    )
+    img = jnp.asarray(rng.randn(2, 12, 12, 8).astype(np.float32))
+    lbl = jnp.asarray((rng.rand(2, 12, 12, 8) > 0.8).astype(np.int32))
+    key = jax.random.PRNGKey(0)
+    ref = augment_sample_pair(key, img, lbl, lbl, params, 1.5, order="reference")
+    fast = augment_sample_pair(key, img, lbl, lbl, params, 1.5, order="fast")
+    np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(ref[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(fast[2]), np.asarray(ref[2]))
+
+
+def test_fast_order_statistics(rng):
+    """Non-identity warps: fast order keeps shapes and label mass plausible."""
+    from deep_staple_tpu.ops.augment import augment_sample_pair
+
+    img = jnp.asarray(rng.randn(2, 16, 16, 10).astype(np.float32))
+    lbl = jnp.zeros((2, 16, 16, 10), jnp.int32).at[:, 5:11, 5:11, 3:7].set(1)
+    out_img, out_lbl, out_mod, grid = augment_sample_pair(
+        jax.random.PRNGKey(3), img, lbl, lbl, pre_interpolation_factor=1.5, order="fast"
+    )
+    assert out_img.shape == (2, 24, 24, 15)
+    assert out_lbl.shape == (2, 24, 24, 15)
+    assert grid.shape == (2, 16, 16, 10, 3)  # grid at base resolution
+    np.testing.assert_array_equal(np.asarray(out_lbl), np.asarray(out_mod))
+    # warped label mass within 2x of the identity-scaled mass
+    scale = (24 * 24 * 15) / (16 * 16 * 10)
+    for b in range(2):
+        m = int(np.asarray(out_lbl[b]).sum())
+        assert 0.3 * scale * 216 < m < 3 * scale * 216
+
+
 def test_warp_edge_exact_coordinates():
     # x exactly on the last voxel: pair-shift path must return vol[..., -1]
     B, D, H, W = 1, 4, 4, 4
