@@ -107,7 +107,9 @@ def measure_torch_baseline() -> float:
             return float(cached["sec_per_step"])
     from benchmarks.torch_reference_step import measure_reference_step_time
 
-    small_batch = 1
+    # batch 2 (not 1): torch BatchNorm3d in train mode needs >1 value per
+    # channel after the ASPP global pooling branch.
+    small_batch = 2
     t = measure_reference_step_time(small_batch, AUG_SPATIAL, steps=2)
     sec = t * (BATCH / small_batch)  # linear batch scaling (CPU conv3d is compute-bound)
     BASELINE_CACHE.write_text(
