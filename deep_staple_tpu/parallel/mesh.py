@@ -29,14 +29,22 @@ def make_mesh(data: Optional[int] = None, space: int = 1, devices=None) -> Mesh:
     return Mesh(devs, axis_names=("data", "space"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
+def batch_sharding(mesh: Mesh, spatial_axis: bool = False) -> NamedSharding:
+    """Batch dim over 'data'; optionally the H axis (dim 2 of B,D,H,W) over
+    'space' for whole-volume training."""
+    if spatial_axis:
+        return NamedSharding(mesh, P("data", None, "space"))
     return NamedSharding(mesh, P("data"))
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Shard every batch array over the 'data' axis (dim 0)."""
-    sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+def shard_batch(batch: dict, mesh: Mesh, spatial_axis: bool = False) -> dict:
+    """Shard every batch array: dim 0 over 'data', volumes optionally H over
+    'space' (scalars/per-sample vectors stay data-sharded only)."""
+    out = {}
+    for k, v in batch.items():
+        sh = batch_sharding(mesh, spatial_axis and getattr(v, "ndim", 1) >= 3)
+        out[k] = jax.device_put(v, sh)
+    return out
 
 
 def replicate_state(state, mesh: Mesh):
