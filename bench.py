@@ -151,26 +151,39 @@ def measure_consensus_fusion(cases: int = 4, raters: int = 10, spatial=(256, 256
     return vps
 
 
-def measure_staple(raters: int = 10, spatial=(256, 256, 100), iters: int = 200):
+def measure_staple(raters: int = 10, spatial=(256, 256, 100), iters: int = 50):
+    """Device-resident EM compute (host->device transfer of the label stack is
+    tunnel-bound in this environment and excluded; timing syncs via a small
+    host transfer of the result — block_until_ready does not reliably block
+    on the axon tunnel)."""
     import jax
     import jax.numpy as jnp
 
-    from deep_staple_tpu.consensus.staple_pallas import staple_consensus_pallas
+    from deep_staple_tpu.consensus.staple import _staple_em
+    from deep_staple_tpu.consensus.staple_pallas import _staple_em_pallas
 
     rng = np.random.RandomState(0)
     truth = rng.rand(*spatial) > 0.8
-    lbls = [np.roll(truth, rng.randint(-2, 3, 3), (0, 1, 2)).astype(np.int16) for _ in range(raters)]
-    res = staple_consensus_pallas(lbls, max_iterations=iters)
-    jax.block_until_ready(res.consensus)
-    t0 = time.time()
-    res = staple_consensus_pallas(lbls, max_iterations=iters)
-    jax.block_until_ready(res.consensus)
-    dt = time.time() - t0
-    n_it = int(res.iterations)
-    _eprint(
-        f"STAPLE (pallas fused EM): {dt:.2f}s for {raters} raters @ {spatial}, "
-        f"{n_it} iters ({raters*np.prod(spatial)*max(n_it,1)/dt/1e9:.1f} Gvoxel-decisions/s)"
-    )
+    stack = np.stack(
+        [np.roll(truth, rng.randint(-2, 3, 3), (0, 1, 2)) for _ in range(raters)]
+    ).reshape(raters, -1).astype(np.float32)
+    dec = jnp.asarray(stack)
+    _ = np.asarray(dec[0, 0])
+    prior = jnp.clip(jnp.mean(dec), 1e-7, 1 - 1e-7)
+    for name, fn in (("xla", _staple_em), ("pallas fused", _staple_em_pallas)):
+        out = fn(dec, prior, iters, 1e-7)
+        _ = np.asarray(out[0])
+        ts = []
+        for _k in range(3):
+            t0 = time.time()
+            out = fn(dec, prior, iters, 1e-7)
+            _ = np.asarray(out[0])
+            ts.append(time.time() - t0)
+        dt = min(ts)
+        _eprint(
+            f"STAPLE EM [{name}]: {dt/iters*1000:.2f} ms/iter @ {raters} raters x {spatial} "
+            f"({raters*np.prod(spatial)*iters/dt/1e9:.1f} Gvoxel-decisions/s)"
+        )
 
 
 def main(argv=None):

@@ -183,9 +183,11 @@ def _warp_trilinear_border(vol, grid):
     wy = y - y0
     wz = z - z0
 
-    # Plain flattened element gathers: measured FASTER on TPU than a
-    # (1,2)-slice lax.gather, which XLA decomposes back into element gathers
-    # plus a transpose (207ms vs 311ms per corner at 22M voxels).
+    # Plain flattened element gathers: TPU element gathers execute at
+    # ~110M elements/s (profiler-verified; a (1,2)-slice lax.gather lowers
+    # WORSE — 311ms vs 207ms per corner at 22M voxels, and optimization
+    # barriers around the gathers change nothing). This cost is why the
+    # 'fast' augment order (fewer gathered voxels) exists.
     vf = vol.reshape(B, D * H * W)
     out = 0.0
     for dz in (0, 1):
