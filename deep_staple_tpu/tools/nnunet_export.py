@@ -112,6 +112,37 @@ def calculate_consensus_dice(pred_dir, ref_dir):
     return scores
 
 
+def export_domain_gap(dataset, out_root, task_id: int = 570, task_name: str = "domain_gap"):
+    """Export a loaded dataset's (image, modified-label) pairs as an nnU-Net
+    task — the reference's `prepare_nnunet_domain_gap.ipynb` capability:
+    training nnU-Net directly on registered (deeds/convex) moving labels to
+    quantify the domain gap."""
+    out_root = Path(out_root)
+    task = f"Task{task_id}_{task_name}"
+    tdir = out_root / task
+    (tdir / "imagesTr").mkdir(parents=True, exist_ok=True)
+    (tdir / "labelsTr").mkdir(parents=True, exist_ok=True)
+    cases = []
+    dataset.eval(use_modified=True)
+    for idx in range(len(dataset)):
+        s = dataset[idx]
+        name = f"crossmoda_{s['id'].replace(':', '_')}"
+        save_nifti(tdir / "imagesTr" / f"{name}_0000.nii.gz", np.asarray(s["image"], np.float32))
+        save_nifti(tdir / "labelsTr" / f"{name}.nii.gz", np.asarray(s["modified_label"], np.int16))
+        cases.append(name)
+    meta = {
+        "name": task,
+        "labels": {"0": "background", "1": "tumour"},
+        "numTraining": len(cases),
+        "training": [
+            {"image": f"./imagesTr/{c}_0000.nii.gz", "label": f"./labelsTr/{c}.nii.gz"} for c in cases
+        ],
+        "modality": {"0": "MRI"},
+    }
+    (tdir / "dataset.json").write_text(json.dumps(meta, indent=2))
+    return task
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="nnU-Net consensus exporter / dice eval")
     sub = p.add_subparsers(dest="cmd", required=True)
