@@ -114,6 +114,10 @@ class TrainConfig:
     augment_order: str = "reference"
     use_checkpointing: bool = True
     mesh_data_axis: int = 1  # data-parallel shards (1 = single chip)
+    # Note: under GSPMD jit, BatchNorm batch statistics are computed over the
+    # GLOBAL batch automatically (a mean over the sharded batch axis), i.e.
+    # sync-BN is the default behavior — stronger than the reference's
+    # per-device BN. Reserved for future explicit shard_map paths.
     sync_batchnorm: bool = False
     seed: int = 0
     output_dir: str = "data/output"

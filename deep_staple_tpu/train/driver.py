@@ -343,10 +343,31 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             snapshot_path = (
                 Path(config.output_dir) / f"{run_name}_fold{fold_idx}_epx{epx}" / "train_label_snapshot.npz"
             )
-            export_train_label_snapshot(
+            snapshot = export_train_label_snapshot(
                 snapshot_path, state, model, config, dataset, train_idxs, disturbed_bool_vect,
                 save_labels=config.save_labels,
             )
+            # Overview image of DP-sorted samples (the reference builds this at
+            # :1047-1084 but hard-disables it with skip_writeout=True :1057;
+            # here config.do_plot enables it).
+            if config.do_plot and config.save_labels and len(train_idxs) <= 150:
+                from ..utils.visualization import visualize_seg
+
+                overlay = [
+                    f"id:{d} dp:{float(w):.2f}"
+                    for d, w in zip(snapshot["d_ids"], snapshot["data_parameters"])
+                ]
+                visualize_seg(
+                    in_type="batch_3D", reduce_dim="W",
+                    img=snapshot["labels"],
+                    seg=4 * snapshot["train_predictions"][:, None].squeeze(1)
+                    if snapshot["train_predictions"].ndim == 4 else 4 * snapshot["train_predictions"],
+                    ground_truth=snapshot["modified_labels"],
+                    overlay_text=overlay,
+                    frame_elements=list(snapshot["disturb_flags"]),
+                    n_per_row=70,
+                    file_path=snapshot_path.parent / "data_parameter_weighted_samples.png",
+                )
 
         results[fold_idx] = {
             "state": state,
