@@ -24,7 +24,7 @@ from pathlib import Path
 import numpy as np
 
 from .hybrid_dataset import HybridIdDataset
-from .nifti import load_nifti
+
 from .np_ops import pad_to_size_np, resize_nd_np
 
 STATES = {

@@ -25,7 +25,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..core.config import LabelDisturbanceMode
+
 from .snapshot_io import load_snapshot
 
 

@@ -17,7 +17,6 @@ fused gathers rather than a dense gather over the full 3D index space.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

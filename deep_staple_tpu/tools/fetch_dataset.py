@@ -17,8 +17,8 @@ pre-downloaded folder with --skip-download.
 from __future__ import annotations
 
 import argparse
-import subprocess
-import sys
+
+
 from pathlib import Path
 
 from . import build_levels, dicom_convert, tcia_sort, tcia_to_crossmoda

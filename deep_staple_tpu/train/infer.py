@@ -8,7 +8,6 @@ map. Jitted per shape; for whole-volume multi-chip inference see
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
