@@ -33,6 +33,23 @@ from .state import create_state
 from .step import make_eval_step, make_train_step
 
 
+def dp_in_target_pos_ratio(dp_values, disturbed_idxs, target_pos: str = "min") -> float:
+    """Fraction of disturbed samples found among the |disturbed| lowest (or
+    highest) data parameters — the reference's oracle metric for validating
+    that DPs detect corrupted labels
+    (`calc_inst_parameters_in_target_pos_ratio`, main_deep_staple.py:320-333)."""
+    assert target_pos in ("min", "max")
+    disturbed_idxs = np.asarray(disturbed_idxs)
+    if disturbed_idxs.size == 0:
+        return float("nan")
+    dp_values = np.asarray(dp_values)
+    order = np.argsort(dp_values)
+    if target_pos == "max":
+        order = order[::-1]
+    target = set(order[: len(disturbed_idxs)].tolist())
+    return sum(1.0 for i in disturbed_idxs if int(i) in target) / len(disturbed_idxs)
+
+
 def pearson_corr(a, b):
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)

@@ -1,0 +1,58 @@
+"""The reference's core validation experiment: artificially disturb a subset
+of training labels and check that their data parameters sink to the bottom
+(ratio oracle, `main_deep_staple.py:320-333,564-587`)."""
+
+import numpy as np
+import pytest
+
+from deep_staple_tpu.core.config import TrainConfig, LabelDisturbanceMode
+from deep_staple_tpu.data.synthetic import generate_synthetic_crossmoda
+from deep_staple_tpu.data.crossmoda import CrossmodaHybridIdDataset, get_crossmoda_data_load_closure
+from deep_staple_tpu.train.driver import train_dl, dp_in_target_pos_ratio
+
+
+def test_ratio_metric():
+    dp = np.array([0.5, -2.0, 0.3, -1.5, 0.9])
+    assert dp_in_target_pos_ratio(dp, [1, 3], "min") == 1.0
+    assert dp_in_target_pos_ratio(dp, [4], "max") == 1.0
+    assert dp_in_target_pos_ratio(dp, [0], "min") == 0.0
+    assert np.isnan(dp_in_target_pos_ratio(dp, []))
+
+
+# AFFINE: deterministic large translation — a reliable corruption on the small
+# synthetic blobs. (FLIP_ROLL transposes+rolls with wraparound, which on
+# near-symmetric synthetic ellipsoids can be close to an identity map and
+# gives no per-sample CE signal to detect.)
+@pytest.mark.parametrize("mode", [LabelDisturbanceMode.AFFINE])
+def test_disturbed_samples_sink_to_low_dp(tmp_path, mode):
+    # clean dataset (no atlas override) so the disturbance engine is allowed
+    generate_synthetic_crossmoda(tmp_path, num_cases=10, atlas_count=1, size=(16, 16, 16), seed=3)
+    closure = get_crossmoda_data_load_closure(
+        base_dir=str(tmp_path), domain="target", state="l4", use_additional_data=False,
+        size=(16, 16, 16), resample=True, normalize=True, crop_3d_w_dim_range=None,
+        ensure_labeled_pairs=True, modified_3d_label_override=None, debug=False,
+    )
+    dataset = CrossmodaHybridIdDataset(
+        closure, size=(16, 16, 16), resample=True, normalize=True,
+        crop_3d_w_dim_range=None, ensure_labeled_pairs=True,
+        prevent_disturbance=False, pre_interpolation_factor=1.5,
+    )
+    config = TrainConfig(
+        epochs=10, batch_size=4, num_val_images=2, atlas_count=1,
+        use_checkpointing=False, ool_mode="fused", save_every=1000,
+        save_labels=False, log_jsonl=False, lr_inst_param=0.2,
+        disturbance_mode=mode, disturbance_strength=3.0, disturbed_percentage=0.4,
+        output_dir=str(tmp_path / "out"), mdl_save_prefix=str(tmp_path / "models"),
+    )
+    results = train_dl("disturb-test", config, dataset, atlas_count=1)
+    res = results[0]
+    dp = np.asarray(res["state"].dp_params)
+    disturbed = dataset.disturbed_idxs
+    assert len(disturbed) >= 2
+    ratio = dp_in_target_pos_ratio(dp[res["train_idxs"]],
+                                   [list(res["train_idxs"]).index(i) for i in disturbed],
+                                   "min")
+    # disturbed samples should concentrate in the low-DP tail
+    clean = [i for i in res["train_idxs"] if i not in disturbed]
+    assert np.mean(dp[disturbed]) < np.mean(dp[clean])
+    assert ratio >= 1 / 3
