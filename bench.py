@@ -48,7 +48,8 @@ def _enable_compile_cache():
 
 
 def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
-                           ool_mode: str = "strict", augment_order: str = "reference") -> float:
+                           ool_mode: str = "strict", augment_order: str = "reference",
+                           use_checkpointing: bool = True) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +62,7 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
 
     dataset_len = 1070
     config = TrainConfig(
-        use_checkpointing=True, ool_mode=ool_mode, compute_dtype=compute_dtype,
+        use_checkpointing=use_checkpointing, ool_mode=ool_mode, compute_dtype=compute_dtype,
         augment_order=augment_order,
     )
     model, _ = make_model(config, num_classes=2)
@@ -95,7 +96,10 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
         jax.block_until_ready(m["loss"])
         times.append(time.time() - t0)
     sec = float(np.median(times))
-    _eprint(f"TPU train step [{ool_mode}/{augment_order}]: {sec*1000:.1f} ms/step (median of {steps})")
+    _eprint(
+        f"TPU train step [{ool_mode}/{augment_order}/remat={use_checkpointing}]: "
+        f"{sec*1000:.1f} ms/step (median of {steps})"
+    )
     return sec
 
 
@@ -196,7 +200,12 @@ def main(argv=None):
     sec_tpu = measure_tpu_train_step(args.steps, args.dtype)
     # secondary numbers (stderr): fast augmentation order, consensus, STAPLE
     try:
-        measure_tpu_train_step(args.steps, args.dtype, ool_mode="fused", augment_order="fast")
+        # best-known configuration: fused OOL, base-resolution warp, no remat
+        # (the 1.2M-param model's activations fit HBM at these shapes)
+        measure_tpu_train_step(
+            args.steps, args.dtype, ool_mode="fused", augment_order="fast",
+            use_checkpointing=False,
+        )
     except Exception as e:
         _eprint(f"fast-order bench skipped: {e}")
     try:
