@@ -1,0 +1,117 @@
+"""prepare_data reg_state variants against synthesized reference-format
+artifacts (`main_deep_staple.py:150-242`). torch is only used to WRITE the
+.pth fixtures the reference tooling produces."""
+
+from collections import OrderedDict
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+from deep_staple_tpu.core.config import TrainConfig
+from deep_staple_tpu.data.synthetic import generate_synthetic_crossmoda
+from deep_staple_tpu.train.prepare import prepare_data
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    """Synthetic L4 tree whose ids are 001l..004l + reference-format artifacts."""
+    root = tmp_path_factory.mktemp("regstates")
+    generate_synthetic_crossmoda(root, num_cases=4, atlas_count=1, size=(12, 12, 12), seed=1)
+
+    ids = [f"{n}l" for n in range(1, 5)]  # regex-mangled to 001l..004l
+    size = (12, 12, 12)
+    rng = np.random.RandomState(0)
+
+    # 'best'/'combined'/'mix_combined_best' load the SOURCE domain
+    # (reference :152-199); mirror the target files as ceT1 source files.
+    l4 = root / "L4_fine_localized_crop"
+    src_dir = l4 / "source_training_labeled"
+    src_dir.mkdir(parents=True, exist_ok=True)
+    for n in range(1, 5):
+        img = l4 / "target_training_unlabeled" / f"crossmoda_{n}_hrT2_l.nii.gz"
+        lbl_f = l4 / "__omitted_labels_target_training__" / f"crossmoda_{n}_hrT2_l_Label.nii.gz"
+        (src_dir / f"crossmoda_{n}_ceT1_l.nii.gz").write_bytes(img.read_bytes())
+        (src_dir / f"crossmoda_{n}_ceT1_l_Label.nii.gz").write_bytes(lbl_f.read_bytes())
+
+    def lbl():
+        return torch.from_numpy((rng.rand(*size) > 0.8).astype(np.float32))
+
+    # optimal_reg_{left,right}.pth: the 'best'/'combined'/mix variants
+    art_dir = root.parent / "data_artifacts" / "20220113_crossmoda_optimal"
+    art_dir.mkdir(parents=True, exist_ok=True)
+    left = {
+        "valid_left_t1": ids[:2],
+        "best_all": torch.stack([lbl() for _ in range(2)]).to_sparse(),
+        "combined_all": torch.stack([lbl() for _ in range(2)]).to_sparse(),
+    }
+    right = {
+        "valid_right_t1": ids[2:],
+        "best_all": torch.stack([lbl() for _ in range(2)]).to_sparse(),
+        "combined_all": torch.stack([lbl() for _ in range(2)]).to_sparse(),
+    }
+    torch.save(left, art_dir / "optimal_reg_left.pth")
+    torch.save(right, art_dir / "optimal_reg_right.pth")
+
+    # deeds multi-registration artifact: {fixed_id: {moving_id: {'warped_label': t}}}
+    deeds_dir = root.parent / "data_artifacts" / "20220114_crossmoda_multiple_registrations"
+    deeds_dir.mkdir(parents=True, exist_ok=True)
+    bare = OrderedDict()
+    for fid in ids:
+        moving = OrderedDict()
+        for m in range(6):
+            moving[f"{100+m}l"] = {"warped_label": lbl()}
+        bare[fid] = moving
+    torch.save(bare, deeds_dir / "crossmoda_deeds_registered.pth")
+    return root
+
+
+def _config(root, reg_state):
+    return TrainConfig(
+        dataset="crossmoda",
+        reg_state=reg_state,
+        dataset_directory=str(root),
+        crop_3d_w_dim_range=None,
+    )
+
+
+def _load(root, reg_state):
+    # dataset 'crossmoda' defaults to size (128,128,128); override via the
+    # synthetic pickle is not used on this path, so patch the closure size by
+    # using the crossmoda loader directly through prepare_data with a small
+    # resample target (handled inside: size fixed at 128^3 -> resampling the
+    # 12^3 synthetic volumes up is fine, just slower; keep volumes tiny).
+    return prepare_data(_config(root, reg_state))
+
+
+@pytest.mark.parametrize(
+    "reg_state,expected_per_fixed,expected_atlas",
+    [
+        ("best", 1, 1),
+        ("combined", 1, 1),
+        ("acummulate_combined_best", 2, 2),
+        ("acummulate_every_third_deeds_FT2_MT1", 2, 10),  # 6 movers, every 3rd -> 2
+        ("acummulate_every_deeds_FT2_MT1", 6, 30),
+    ],
+)
+def test_reg_state_variants(dataset_root, reg_state, expected_per_fixed, expected_atlas):
+    dataset, atlas_count = _load(dataset_root, reg_state)
+    assert atlas_count == expected_atlas
+    ids = dataset.get_3d_ids()
+    # every fixed image expanded into one instance per atlas
+    assert len(ids) == 4 * expected_per_fixed
+    assert all(":m" in i for i in ids)
+    if reg_state == "best":
+        assert all(i.endswith(":mBST") for i in ids)
+    if reg_state == "combined":
+        assert all(i.endswith(":mCMB") for i in ids)
+
+
+def test_mix_combined_best(dataset_root):
+    dataset, atlas_count = _load(dataset_root, "mix_combined_best")
+    assert atlas_count == 1
+    ids = dataset.get_3d_ids()
+    assert len(ids) == 4
+    suffixes = {i.split(":")[1] for i in ids}
+    assert suffixes <= {"mBST", "mCMB"} and len(suffixes) >= 1
