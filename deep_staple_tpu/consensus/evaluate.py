@@ -48,10 +48,19 @@ def evaluate_consensus(
     out_path=None,
     staple_max_iterations: int = 200,
     use_native_staple: bool = False,
+    batch_cases: bool = True,
 ) -> dict:
-    """Compute DP + STAPLE consensi and oracle dices for every fixed image."""
+    """Compute DP + STAPLE consensi and oracle dices for every fixed image.
+
+    With ``batch_cases`` (default), cases with equal atlas counts are stacked
+    and processed by ONE vmapped computation (DP voting + STAPLE EM + dice) —
+    the TPU-native replacement for the reference notebook's per-case loop
+    (cell 6:53-98)."""
     snapshot = load_snapshot(snapshot_path) if not isinstance(snapshot_path, dict) else snapshot_path
     consensus_dicts = build_consensus_dicts(snapshot)
+
+    if batch_cases and not use_native_staple:
+        return _evaluate_batched(consensus_dicts, staple_max_iterations, out_path)
 
     for f_id, fixed in consensus_dicts.items():
         moving_ids = [k for k, v in fixed.items() if isinstance(v, dict)]
@@ -93,6 +102,54 @@ def evaluate_consensus(
         fixed["staple_consensus"] = staple_out
         fixed["dp_consensus_oracle_dice"] = dp_dsc
         fixed["staple_consensus_oracle_dice"] = staple_dsc
+
+    if out_path is not None:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(out_path, "wb") as f:
+            pickle.dump(consensus_dicts, f)
+    return consensus_dicts
+
+
+def _evaluate_batched(consensus_dicts: dict, staple_max_iterations: int, out_path):
+    from ..ops.dice import dice_from_int_labels
+    from .staple import staple_consensus_batch
+    from .voting import calc_dp_consensus_batch
+
+    # group cases by (atlas count, spatial shape) so stacks are rectangular
+    groups: dict = {}
+    for f_id, fixed in consensus_dicts.items():
+        moving_ids = [k for k, v in fixed.items() if isinstance(v, dict)]
+        key = (len(moving_ids), np.asarray(fixed["expert_label"]).shape)
+        groups.setdefault(key, []).append((f_id, moving_ids))
+
+    for (n_atlas, spatial), members in groups.items():
+        lbls = jnp.stack(
+            [
+                jnp.stack([jnp.asarray(consensus_dicts[f][m]["warped_label"]) for m in mids])
+                for f, mids in members
+            ]
+        )  # (C, R, *spatial)
+        dps = jnp.asarray(
+            [[consensus_dicts[f][m]["data_parameter"] for m in mids] for f, mids in members],
+            jnp.float32,
+        )
+        experts = jnp.stack(
+            [jnp.asarray(consensus_dicts[f]["expert_label"]) for f, _ in members]
+        ).astype(jnp.int32)
+
+        dp_cons = calc_dp_consensus_batch(lbls.astype(jnp.float32), dps)
+        st = staple_consensus_batch(lbls, max_iterations=staple_max_iterations)
+        dp_dice = dice_from_int_labels(dp_cons, experts, 2, nan_for_unlabeled_target=False)
+        st_dice = dice_from_int_labels(st.consensus, experts, 2, nan_for_unlabeled_target=False)
+
+        for ci, (f_id, mids) in enumerate(members):
+            fixed = consensus_dicts[f_id]
+            for mi, m_id in enumerate(mids):
+                fixed[m_id]["staple_sensitivity"] = float(st.sensitivities[ci, mi])
+            fixed["dp_consensus"] = np.asarray(dp_cons[ci])
+            fixed["staple_consensus"] = np.asarray(st.consensus[ci])
+            fixed["dp_consensus_oracle_dice"] = np.asarray(dp_dice[ci])[None]
+            fixed["staple_consensus_oracle_dice"] = np.asarray(st_dice[ci])[None]
 
     if out_path is not None:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)

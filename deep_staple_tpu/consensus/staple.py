@@ -92,6 +92,36 @@ def _staple_em(decisions, prior, max_iterations: int, epsilon: float):
     return p, q, w, iters
 
 
+def staple_consensus_batch(
+    label_stacks,
+    max_iterations: int = 200,
+    epsilon: float = 1e-7,
+    confidence_weight: float = 1.0,
+    threshold: float = 0.5,
+) -> StapleResult:
+    """STAPLE over MANY fixed images at once: (cases, R, *spatial) -> vmapped
+    EM. Cases run in lockstep until every case converges (the while_loop under
+    vmap executes until all batch members' conditions are false), which on TPU
+    is far cheaper than dispatching per-case loops serially."""
+    stacks = jnp.asarray(label_stacks).astype(jnp.float32)
+    C, R = stacks.shape[:2]
+    spatial = stacks.shape[2:]
+    decisions = stacks.reshape(C, R, -1)
+    priors = jnp.clip(
+        confidence_weight * jnp.mean(decisions, axis=(1, 2)), 1e-7, 1 - 1e-7
+    )
+    p, q, w, iters = jax.vmap(
+        lambda d, g: _staple_em(d, g, max_iterations, epsilon)
+    )(decisions, priors)
+    return StapleResult(
+        consensus=(w > threshold).astype(jnp.int32).reshape((C,) + spatial),
+        probabilities=w,
+        sensitivities=p,
+        specificities=q,
+        iterations=iters,
+    )
+
+
 def staple_consensus(
     label_list,
     max_iterations: int = 200,
