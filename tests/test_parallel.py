@@ -89,3 +89,16 @@ def test_spatially_sharded_inference_matches_unsharded():
     infer = make_whole_volume_inference(model, mesh)
     got = np.asarray(infer(variables, x))
     np.testing.assert_array_equal(got, want)
+
+
+def test_dryrun_multichip_self_bootstraps_from_initialized_jax():
+    """Regression gate for the driver artifact: dryrun_multichip must work
+    even when jax is already imported/initialized in this process (as under
+    the axon sitecustomize) by re-execing into a clean virtual-CPU child."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    assert "jax" in sys.modules  # precondition: the hostile case
+    g.dryrun_multichip(2)  # raises on child failure
