@@ -42,50 +42,88 @@ def _block(inc, midc, outc, stride, first):
 
 
 class _Res(nn.Module):
+    # Attribute is named ``module`` so state_dict keys match the reference's
+    # ResBlock (`MobileNet_LR_ASPP_3D.py:118-124`): `backbone.N.module.K.*`.
     def __init__(self, mod):
         super().__init__()
-        self.mod = mod
+        self.module = mod
 
     def forward(self, x):
-        return self.mod(x) + x
+        return self.module(x) + x
+
+
+class _ASPP(nn.Module):
+    # Key layout matches the reference ASPP_3d (`MobileNet_LR_ASPP_3D.py:88-114`):
+    # `aspp.convs.{0..5}.{0,1}.*` (branch 5 = pooling) + `aspp.project.{0,1}.*`.
+    def __init__(self, in_ch=64, out_ch=128, rates=(2, 4, 8, 16)):
+        super().__init__()
+        cbr = lambda i, o, k, d=1: nn.Sequential(
+            nn.Conv3d(i, o, k, padding=d * (k // 2), dilation=d, bias=False),
+            nn.BatchNorm3d(o), nn.ReLU())
+        self.convs = nn.ModuleList(
+            [cbr(in_ch, out_ch, 1)] + [cbr(in_ch, out_ch, 3, d) for d in rates]
+            + [cbr(in_ch, out_ch, 1)])
+        self.project = nn.Sequential(
+            nn.Conv3d((len(rates) + 2) * out_ch, out_ch, 1, bias=False),
+            nn.BatchNorm3d(out_ch), nn.ReLU(), nn.Dropout(0.5))
+
+    def forward(self, x):
+        feats = [b(x) for b in self.convs[:-1]]
+        pooled = self.convs[-1](F.adaptive_avg_pool3d(x, 1))
+        feats.append(F.interpolate(pooled, size=x.shape[-3:], mode="nearest"))
+        return self.project(torch.cat(feats, 1))
+
+
+class _LRASPPHead(nn.Module):
+    # Key layout matches the reference LRASPPHead_3d (`:21-53`):
+    # `head.cbr.{0,1}.*`, `head.scale.1.*`, `head.{low,high}_classifier.*`.
+    def __init__(self, num_classes, high_ch=16, inter_ch=128, low_ch=128):
+        super().__init__()
+        self.cbr = nn.Sequential(
+            nn.Conv3d(high_ch, inter_ch, 1, bias=False),
+            nn.BatchNorm3d(inter_ch), nn.ReLU())
+        self.scale = nn.Sequential(
+            nn.AdaptiveAvgPool3d(1), nn.Conv3d(high_ch, inter_ch, 1, bias=False),
+            nn.Sigmoid())
+        self.low_classifier = nn.Conv3d(low_ch, num_classes, 1)
+        self.high_classifier = nn.Conv3d(inter_ch, num_classes, 1)
+
+    def forward(self, low, high):
+        g = self.cbr(high) * self.scale(high)
+        g = F.interpolate(g, size=low.shape[-3:], mode="trilinear", align_corners=False)
+        return self.low_classifier(low) + self.high_classifier(g)
 
 
 class TorchLRASPP3D(nn.Module):
+    """From-scratch torch LRASPP-3D whose ``state_dict()`` key layout is
+    identical to the reference `MobileNet_LRASPP_3D` (backbone.1-10 with
+    Identity at 0, aspp.convs/project, head.cbr/scale/classifiers) so the
+    same dict exercises both this baseline and the torch->Flax transplant
+    (`deep_staple_tpu/models/torch_interop.py`)."""
+
     def __init__(self, in_ch=1, num_classes=2):
         super().__init__()
-        blocks = []
+        backbone = nn.Sequential()
+        backbone.add_module("0", nn.Identity())
         inc = in_ch
         for i in range(10):
             b = _block(inc, MID[i], OUT[i], STR[i], first=(i == 0))
-            if inc == OUT[i] and STR[i] == 1 and i != 0:
+            if inc == OUT[i] and STR[i] == 1:
                 b = _Res(b)
-            blocks.append(b)
+            backbone.add_module(str(i + 1), b)
             inc = OUT[i]
-        self.him = nn.Sequential(*blocks[:2])
-        self.lom = nn.Sequential(*blocks[2:])
-        convbnrelu = lambda i, o, k, d=1: nn.Sequential(
-            nn.Conv3d(i, o, k, padding=d * (k // 2), dilation=d, bias=False),
-            nn.BatchNorm3d(o), nn.ReLU())
-        self.aspp_branches = nn.ModuleList(
-            [convbnrelu(64, 128, 1)] + [convbnrelu(64, 128, 3, d) for d in (2, 4, 8, 16)]
-            + [convbnrelu(64, 128, 1)])
-        self.aspp_project = nn.Sequential(convbnrelu(6 * 128, 128, 1), nn.Dropout(0.5))
-        self.cbr = convbnrelu(16, 128, 1)
-        self.scale = nn.Sequential(nn.AdaptiveAvgPool3d(1), nn.Conv3d(16, 128, 1, bias=False), nn.Sigmoid())
-        self.low_cls = nn.Conv3d(128, num_classes, 1)
-        self.high_cls = nn.Conv3d(128, num_classes, 1)
+        self.backbone = backbone
+        self.aspp = _ASPP()
+        self.head = _LRASPPHead(num_classes)
 
     def forward(self, x):
-        high = self.him(x)
-        low = self.lom(high)
-        feats = [b(low) for b in self.aspp_branches[:-1]]
-        pooled = F.adaptive_avg_pool3d(low, 1)
-        pooled = self.aspp_branches[-1](pooled)
-        feats.append(F.interpolate(pooled, size=low.shape[-3:], mode="nearest"))
-        low = self.aspp_project(torch.cat(feats, 1))
-        g = self.cbr(high) * self.scale(high)
-        g = F.interpolate(g, size=low.shape[-3:], mode="trilinear", align_corners=False)
-        y = self.low_cls(low) + self.high_cls(g)
+        high = self.backbone[1](x)
+        high = self.backbone[2](high)
+        low = high
+        for i in range(3, 11):
+            low = self.backbone[i](low)
+        low = self.aspp(low)
+        y = self.head(low, high)
         return F.interpolate(y, size=x.shape[-3:], mode="trilinear", align_corners=False)
 
 

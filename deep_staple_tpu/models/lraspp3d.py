@@ -163,6 +163,7 @@ class ASPP3D(nn.Module):
 
     out_channels: int = 128
     atrous_rates: Sequence[int] = (2, 4, 8, 16)
+    dropout_rate: float = 0.5
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -183,7 +184,7 @@ class ASPP3D(nn.Module):
 
         y = jnp.concatenate(branches, axis=-1)
         y = conv(self.out_channels, kernel=1)(y, train)
-        y = nn.Dropout(0.5, deterministic=not train)(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         return y
 
 
@@ -272,6 +273,7 @@ class MobileNetLRASPP3D(nn.Module):
     num_classes: int = 2
     use_checkpointing: bool = True
     head_type: str = "lraspp"  # 'lraspp' | 'conv'
+    dropout_rate: float = 0.5  # ASPP dropout; 0.0 for torch-parity testing
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
 
@@ -293,7 +295,7 @@ class MobileNetLRASPP3D(nn.Module):
         # Explicit names keep parameter paths identical with/without remat.
         high = him_cls(**kw, name="him")(x, train)
         low = lom_cls(**kw, name="lom")(high, train)
-        low = aspp_cls(**kw, name="aspp")(low, train)
+        low = aspp_cls(dropout_rate=self.dropout_rate, **kw, name="aspp")(low, train)
         y = head_cls(num_classes=self.num_classes, **kw, name="head")(low, high, train)
 
         # Final trilinear upsample to input size in f32 (reference :232).

@@ -71,32 +71,32 @@ def _forward(model, params, batch_stats, images, train: bool, dropout_rng=None,
 
 def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighting,
                     augment_params: AugmentParams = AugmentParams(),
-                    pre_interpolation_factor: float = 1.5):
+                    pre_interpolation_factor: float = 1.5,
+                    augment: bool = True):
     """Build the jitted train step.
 
     Args:
         class_weights: f32[num_classes] (reference :650-651).
         fixed_weighting: f32[dataset_len] log(gt_num+e)+e (reference :653).
+        augment: device-side augmentation, on by default like the reference's
+            train() path (:666). False feeds the batch through raw — used by
+            the torch-parity gate, where both sides must see identical voxels.
     """
     use_dp = config.data_param_mode == DataParamMode.INSTANCE_PARAMS
     use_2d = config.use_2d_normal_to is not None
     class_weights = jnp.asarray(class_weights, jnp.float32)
     fixed_weighting = jnp.asarray(fixed_weighting, jnp.float32)
-    do_augment = True  # the reference's train() path always augments (:666)
 
     def _prepare(batch, rng):
         img = batch["image"]
         lbl = batch["label"]
         mod = batch["modified_label"]
-        if do_augment:
+        if augment:
             img, lbl, mod, _ = augment_sample_pair(
                 rng, img, lbl, mod, params=augment_params,
                 pre_interpolation_factor=pre_interpolation_factor, use_2d=use_2d,
                 order=config.augment_order,
             )
-        else:
-            img, lbl = interpolate_sample(img, lbl, 2.0, use_2d)
-            _, mod = interpolate_sample(None, mod, 2.0, use_2d)
         return img, lbl, mod
 
     def _dp_pass(dp_logits, mod, dp_params, idxs):
