@@ -26,8 +26,7 @@ def build_consensus_dicts(snapshot: dict) -> dict:
     m_id: {'warped_label', 'data_parameter'}}} (cell 6:32-51)."""
     d_ids = list(snapshot["d_ids"])
     consensus_dicts: dict = {}
-    for _id in d_ids:
-        i = d_ids.index(_id)
+    for i, _id in enumerate(d_ids):
         f_id, m_id = _id[:4], _id[6:]
         fixed = consensus_dicts.get(f_id)
         if fixed is None:
@@ -79,8 +78,10 @@ def evaluate_consensus(
             staple_out = np.asarray(res.consensus)
             sens, spec = np.asarray(res.sensitivities), np.asarray(res.specificities)
 
-        for m_id, s in zip(moving_ids, sens):
+        # Reference keeps sensitivity AND specificity per atlas (cell 5:24-26).
+        for m_id, s, p in zip(moving_ids, sens, spec):
             fixed[m_id]["staple_sensitivity"] = float(s)
+            fixed[m_id]["staple_specificity"] = float(p)
 
         dp_dsc = np.asarray(
             dice3d(
@@ -146,6 +147,7 @@ def _evaluate_batched(consensus_dicts: dict, staple_max_iterations: int, out_pat
             fixed = consensus_dicts[f_id]
             for mi, m_id in enumerate(mids):
                 fixed[m_id]["staple_sensitivity"] = float(st.sensitivities[ci, mi])
+                fixed[m_id]["staple_specificity"] = float(st.specificities[ci, mi])
             fixed["dp_consensus"] = np.asarray(dp_cons[ci])
             fixed["staple_consensus"] = np.asarray(st.consensus[ci])
             fixed["dp_consensus_oracle_dice"] = np.asarray(dp_dice[ci])[None]

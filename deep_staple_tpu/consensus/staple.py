@@ -1,22 +1,33 @@
-"""First-party STAPLE (Warfield et al. 2004) EM consensus, TPU-native.
+"""First-party STAPLE (Warfield et al. 2004, TMI 23(7):903-921) EM consensus,
+TPU-native.
 
 The reference calls SimpleITK's C++ `STAPLEImageFilter` (`consensus.ipynb`
 cell 5:13-26: foreground 1.0, max 200 iterations, threshold 0.5) — the one
-algorithm the reference only has in native code. Re-implemented here with ITK
-semantics as a jittable `lax.while_loop`:
+algorithm the reference only has in native code. Re-implemented here from the
+paper's binary EM as a jittable `lax.while_loop`:
 
   * decisions D in {0,1}^(R raters, V voxels),
-  * global foreground prior g = confidence_weight * mean foreground fraction
-    over raters (ITK itkSTAPLEImageFilter behavior),
-  * init p_i = q_i = 0.99999,
-  * E-step: W_j = g*prod_i p-term / (g*prod + (1-g)*prod q-term), computed in
-    log space; the per-voxel sum over raters is a (1,R)x(R,V) matmul -> MXU,
-  * M-step: p_i = sum_j W_j d_ij / sum_j W_j (matvec), q analogous,
-  * convergence when the summed |delta| of sensitivities+specificities drops
-    below epsilon, or max_iterations.
+  * E-step (paper eq. 13-14): W_j = a_j/(a_j+b_j) with
+    a_j = g * prod_i p_i^d_ij (1-p_i)^(1-d_ij),
+    b_j = (1-g) * prod_i q_i^(1-d_ij) (1-q_i)^d_ij, computed in log space;
+    the per-voxel sum over raters is a (1,R)x(R,V) matmul -> MXU,
+  * M-step (eq. 15-16): p_i = sum_j W_j d_ij / sum_j W_j, q analogous on 1-W,
+  * convergence when sum_i |dp_i| + |dq_i| < epsilon, or max_iterations.
 
-A C++ CPU implementation with identical semantics lives in
-native/deepstaple_staple.cpp; tests cross-validate the two.
+ITK-convention notes (fidelity status): the defaults mirror the
+itkSTAPLEImageFilter public API and documentation — ConfidenceWeight 1.0,
+sensitivity/specificity initialized to 0.99999, and the spatially-uniform
+foreground prior g = ConfidenceWeight * (mean over raters of each rater's
+foreground fraction), which for equal-sized inputs equals
+confidence_weight * mean(D) as used below. ITK's exact convergence metric and
+internal epsilon could NOT be re-verified in this build environment (no ITK
+binding available, no network); where ITK differs in stopping behavior the
+fixed-point itself is identical — both iterate the same eq. 13-16 map — so
+disagreement is bounded by the convergence tolerance. Validation used
+instead: (a) an independently written C++ implementation
+(native/deepstaple_staple.cpp) cross-checked bit-for-bit on random stacks,
+(b) property tests (unanimous-rater convergence, truth recovery with
+corrupted raters ranked by sensitivity) in tests/test_consensus.py.
 """
 
 from __future__ import annotations

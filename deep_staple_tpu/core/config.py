@@ -107,13 +107,22 @@ class TrainConfig:
     #   params, bitwise-matching the reference's out-of-line schedule
     #   (`main_deep_staple.py:723-729`).
     ool_mode: str = "strict"
+    # Additionally export train_label_snapshot.pth in the reference's torch
+    # format (readable by the reference consensus notebook + fixed-weight
+    # reload) next to the native .npz snapshot.
+    export_pth_snapshot: bool = False
     compute_dtype: str = "float32"  # 'bfloat16' recommended on TPU
     # 'reference': interpolate-then-warp (reference-exact order);
     # 'fast': warp at base resolution then resize — same augmentation
     # distribution, ~3x less gather work (see ops/augment.py).
     augment_order: str = "reference"
     use_checkpointing: bool = True
-    mesh_data_axis: int = 1  # data-parallel shards (1 = single chip)
+    # Device mesh for the production driver (train_dl): batches are sharded
+    # over ('data',) and optionally the volume H axis over ('space',); state
+    # is replicated. 1x1 = single chip. Batches whose size does not divide
+    # mesh_data_axis are truncated to the largest multiple (and skipped if 0).
+    mesh_data_axis: int = 1  # data-parallel shards
+    mesh_space_axis: int = 1  # spatial (volume H) shards for whole-volume work
     # Note: under GSPMD jit, BatchNorm batch statistics are computed over the
     # GLOBAL batch automatically (a mean over the sharded batch axis), i.e.
     # sync-BN is the default behavior — stronger than the reference's

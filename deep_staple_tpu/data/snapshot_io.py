@@ -63,6 +63,42 @@ def save_snapshot(path, snapshot: dict):
     np.savez_compressed(path, **payload)
 
 
+def save_snapshot_pth(path, snapshot: dict):
+    """Write a snapshot in the reference's torch format so reference tooling
+    (`consensus.ipynb` cell 6 `torch.load`, the fixed-weight reload at
+    `HybridIdLoader.py:134-137`) can consume this framework's output:
+    data_parameters as an (N, 1) f32 tensor (the embedding's shape), id/path
+    tuples, dataset_idxs long, label volumes stacked sparse, predictions with
+    the reference's inference-wrap batch dim (`main_deep_staple.py:1013-1034`).
+    """
+    import torch
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    sd = {
+        "data_parameters": torch.from_numpy(
+            np.asarray(snapshot["data_parameters"], np.float32).reshape(-1, 1)
+        ),
+        "disturb_flags": tuple(bool(x) for x in snapshot["disturb_flags"]),
+        "d_ids": tuple(str(s) for s in snapshot["d_ids"]),
+        "dataset_idxs": torch.from_numpy(np.asarray(snapshot["dataset_idxs"], np.int64)),
+        "image_paths": tuple(str(p) for p in snapshot["image_paths"]),
+        "label_paths": tuple(str(p) for p in snapshot["label_paths"]),
+    }
+    if snapshot.get("labels") is not None:
+        preds = np.asarray(snapshot["train_predictions"])
+        if preds.ndim == 4:  # restore the (N, 1, D, H, W) inference batch dim
+            preds = preds[:, None]
+        sd.update(
+            labels=torch.from_numpy(np.asarray(snapshot["labels"], np.int64)).to_sparse(),
+            modified_labels=torch.from_numpy(
+                np.asarray(snapshot["modified_labels"], np.int64)
+            ).to_sparse(),
+            train_predictions=torch.from_numpy(preds.astype(np.int64)).to_sparse(),
+        )
+    torch.save(sd, path)
+
+
 def load_snapshot(path) -> dict:
     path = Path(path)
     if path.suffix == ".pth":  # reference snapshot, needs torch

@@ -54,12 +54,64 @@ def sweep_run(config: TrainConfig):
     return all_results
 
 
+def build_wandb_sweep_config(config: TrainConfig, sweep_parameters=None, metric=SWEEP_METRIC) -> dict:
+    """Merge the full config into a wandb sweep spec, reference semantics
+    (`main_deep_staple.py:1160-1181`): swept keys keep their 'values' lists,
+    every other config field becomes a fixed {'value': v} parameter so the
+    agent's wandb.config carries the complete configuration; Enum entries are
+    stringified (wandb would otherwise identify them by numerical index)."""
+    from enum import Enum
+
+    sweep_parameters = sweep_parameters if sweep_parameters is not None else SWEEP_PARAMETERS
+    merged = {
+        "method": "grid",
+        "metric": {"goal": "maximize", "name": metric},
+        "parameters": {k: {"values": list(v)} for k, v in sweep_parameters.items()},
+    }
+    for k, v in config.to_dict().items():  # to_dict already stringifies Enums
+        if k not in sweep_parameters:
+            merged["parameters"][k] = {"value": v}
+    for pd in merged["parameters"].values():
+        if "value" in pd and isinstance(pd["value"], Enum):
+            pd["value"] = str(pd["value"])
+        if "values" in pd:
+            pd["values"] = [str(e) if isinstance(e, Enum) else e for e in pd["values"]]
+    return merged
+
+
+def wandb_sweep_run(config: TrainConfig, wandb=None):
+    """wandb-agent sweep (reference `main_deep_staple.py:1146-1181`): register
+    the merged sweep, let the agent drive trials, each trial re-reading its
+    overrides from wandb.config. Falls back to the grid `sweep_run` when wandb
+    is not importable (this framework never hard-depends on wandb)."""
+    if wandb is None:
+        try:
+            import wandb  # type: ignore[no-redef]
+        except ImportError:
+            print("wandb not importable; falling back to the grid sweep driver")
+            return sweep_run(config)
+
+    def _trial():
+        with wandb.init(mode=config.wandb_mode) as run:
+            overrides = dict(wandb.config)
+            cfg = TrainConfig.from_dict({**config.to_dict(), **overrides})
+            print("Running", run.name)
+            dataset, atlas_count = prepare_data(cfg)
+            return train_dl(run.name, cfg, dataset, atlas_count)
+
+    sweep_id = wandb.sweep(build_wandb_sweep_config(config), project="deep_staple_tpu")
+    wandb.agent(sweep_id, function=_trial)
+    return sweep_id
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="DeepSTAPLE-TPU training")
     add_cli_args(parser)
     args = parser.parse_args(argv)
     config = TrainConfig.from_dict(vars(args))
     if config.do_sweep:
+        if config.wandb_mode != "disabled":
+            return wandb_sweep_run(config)
         return sweep_run(config)
     return normal_run(config)
 

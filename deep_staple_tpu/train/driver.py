@@ -222,12 +222,26 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             dp_override_values=dp_override_values,
         )
 
+        # --- device mesh (TPU-native; the reference is single-GPU) ---
+        # State replicated, batches sharded over ('data',) and optionally the
+        # volume H axis over ('space',). The jitted step is unchanged: GSPMD
+        # inserts the collectives (grad psum, global-batch BN stats, DP
+        # scatter-add) from the input shardings.
+        mesh = None
+        if config.mesh_data_axis > 1 or config.mesh_space_axis > 1:
+            from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+
+            mesh = make_mesh(data=config.mesh_data_axis, space=config.mesh_space_axis)
+            print(f"Device mesh: data={config.mesh_data_axis} space={config.mesh_space_axis}")
+
         epx_start = config.checkpoint_epx or 0
         ckpt_name = config.checkpoint_name or run_name
         ckpt_path = Path(config.mdl_save_prefix) / f"{ckpt_name}_fold{fold_idx}_epx{epx_start}"
         if checkpoint_exists(ckpt_path):
             print(f"Restoring checkpoint from {ckpt_path}")
             state = restore_checkpoint(ckpt_path, state)
+        if mesh is not None:
+            state = replicate_state(state, mesh)
 
         pre_interp = dataset.pre_interpolation_factor
         train_step = make_train_step(
@@ -253,8 +267,16 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
 
             for bstart in range(0, len(perm), config.batch_size):
                 bidx = perm[bstart : bstart + config.batch_size]
+                if mesh is not None:
+                    usable = (len(bidx) // config.mesh_data_axis) * config.mesh_data_axis
+                    if usable == 0:
+                        continue  # remainder smaller than the data axis
+                    bidx = bidx[:usable]
                 host_batch = dataset.sample_batch(bidx)
-                batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+                if mesh is not None:
+                    batch = shard_batch(host_batch, mesh, spatial_axis=config.mesh_space_axis > 1)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
 
                 lr = (
                     exp_lr(config.lr, sched_steps)
@@ -340,9 +362,13 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             val_dices, val_class_dices = [], []
             for val_idx in val_3d_idxs:
                 hb = dataset.sample_batch([val_idx], use_modified=False)
-                _, b_dice = eval_step(
-                    state, {"image": jnp.asarray(hb["image"]), "label": jnp.asarray(hb["label"])}
-                )
+                val_batch = {"image": jnp.asarray(hb["image"]), "label": jnp.asarray(hb["label"])}
+                if mesh is not None:
+                    # single volume: replicate (batch 1 can't split over 'data')
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    val_batch = jax.device_put(val_batch, NamedSharding(mesh, PartitionSpec()))
+                _, b_dice = eval_step(state, val_batch)
                 b_dice = np.asarray(b_dice)
                 val_dices.append(batch_dice_over_all(b_dice, exclude_bg=True))
                 val_class_dices.append(batch_dice_per_class(b_dice, dataset.label_tags, exclude_bg=True))
@@ -364,6 +390,10 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                 snapshot_path, state, model, config, dataset, train_idxs, disturbed_bool_vect,
                 save_labels=config.save_labels,
             )
+            if config.export_pth_snapshot:
+                from ..data.snapshot_io import save_snapshot_pth
+
+                save_snapshot_pth(snapshot_path.with_suffix("").with_suffix(".pth"), snapshot)
             # Overview image of DP-sorted samples (the reference builds this at
             # :1047-1084 but hard-disables it with skip_writeout=True :1057;
             # here config.do_plot enables it).

@@ -1,0 +1,77 @@
+"""Subprocess smoke of the real entry points (`python -m deep_staple_tpu.main`
+and `python -m deep_staple_tpu.consensus`) on the synthetic fixture — catches
+arg-parsing / config-threading regressions the in-process tests can't."""
+
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO  # axon site dropped: CPU-only subprocess
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
+@pytest.fixture(scope="module")
+def cli_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    from deep_staple_tpu.data.synthetic import generate_synthetic_crossmoda
+
+    generate_synthetic_crossmoda(root, num_cases=3, atlas_count=2, size=(12, 12, 12), seed=1)
+    cmd = [
+        sys.executable, "-m", "deep_staple_tpu.main",
+        "--dataset", "synthetic", "--reg-state", "synthetic",
+        "--dataset-directory", str(root), "--crop-3d-w-dim-range", "none",
+        "--epochs", "1", "--batch-size", "4", "--num-val-images", "1",
+        "--use-checkpointing", "false", "--ool-mode", "fused",
+        "--export-pth-snapshot", "true",
+        "--output-dir", str(root / "out"), "--mdl-save-prefix", str(root / "models"),
+    ]
+    proc = subprocess.run(cmd, env=_clean_env(), cwd=REPO, capture_output=True, text=True, timeout=540)
+    return root, proc
+
+
+def test_main_cli_trains_and_exports(cli_run):
+    root, proc = cli_run
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dice_mean_wo_bg_fold0" in proc.stdout
+    assert "val_dice_mean_wo_bg_fold0" in proc.stdout
+    snaps = glob.glob(str(root / "out" / "*" / "train_label_snapshot.npz"))
+    assert len(snaps) == 1
+    # --export-pth-snapshot wrote the reference-format twin
+    assert glob.glob(str(root / "out" / "*" / "train_label_snapshot.pth"))
+    assert glob.glob(str(root / "models" / "*_epx0" / "state.msgpack"))
+    assert glob.glob(str(root / "out" / "*_metrics.jsonl"))
+
+
+def test_consensus_cli_consumes_snapshot(cli_run):
+    root, proc = cli_run
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    snap = glob.glob(str(root / "out" / "*" / "train_label_snapshot.npz"))[0]
+    out = root / "consensus" / "cd.pkl"
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "deep_staple_tpu.consensus",
+         "--snapshot", snap, "--output", str(out), "--staple-iters", "30"],
+        env=_clean_env(), cwd=REPO, capture_output=True, text=True, timeout=540,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    assert "DP consensus mean dice" in proc2.stdout
+    assert out.is_file()
+
+    import pickle
+
+    with open(out, "rb") as f:
+        cd = pickle.load(f)
+    fixed = next(iter(cd.values()))
+    m_ids = [k for k, v in fixed.items() if isinstance(v, dict)]
+    assert {"staple_sensitivity", "staple_specificity"} <= set(fixed[m_ids[0]])
+    assert np.isfinite(fixed["dp_consensus_oracle_dice"]).all()

@@ -67,6 +67,47 @@ def test_snapshot_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(out["disturb_flags"], snap["disturb_flags"])
 
 
+def test_snapshot_pth_export_reference_format(tmp_path, rng):
+    """The .pth export must be consumable by reference tooling: torch.load
+    yields the reference save_dict types (`main_deep_staple.py:1013-1034`) —
+    (N,1) f32 data_parameters, tuples for ids/flags/paths, stacked sparse
+    label tensors — and load_snapshot round-trips it."""
+    torch = pytest.importorskip("torch")
+    from deep_staple_tpu.data.snapshot_io import save_snapshot_pth
+
+    n, shape = 3, (6, 5, 4)
+    labels = (rng.rand(n, *shape) > 0.8).astype(np.int32)
+    snap = {
+        "data_parameters": rng.randn(n).astype(np.float32),
+        "disturb_flags": np.array([True, False, True]),
+        "d_ids": ["001l:m100l", "001l:m101l", "002l:m100l"],
+        "dataset_idxs": np.arange(n, dtype=np.int32),
+        "image_paths": ["a", "b", "c"],
+        "label_paths": ["d", "e", "f"],
+        "labels": labels,
+        "modified_labels": labels,
+        "train_predictions": labels,
+    }
+    p = tmp_path / "train_label_snapshot.pth"
+    save_snapshot_pth(p, snap)
+
+    raw = torch.load(p)
+    assert raw["data_parameters"].shape == (n, 1)
+    assert raw["data_parameters"].dtype == torch.float32
+    assert isinstance(raw["d_ids"], tuple) and raw["d_ids"][0] == "001l:m100l"
+    assert isinstance(raw["disturb_flags"], tuple)
+    assert raw["dataset_idxs"].dtype == torch.int64
+    assert raw["labels"].is_sparse
+    assert raw["train_predictions"].shape == (n, 1) + shape  # inference batch dim
+    # The consensus notebook's access pattern (cell 6): index row, densify.
+    i = raw["d_ids"].index("001l:m101l")
+    np.testing.assert_array_equal(raw["labels"][i].to_dense().numpy(), labels[i])
+
+    out = load_snapshot(p)
+    np.testing.assert_allclose(out["data_parameters"].reshape(-1), snap["data_parameters"])
+    np.testing.assert_array_equal(out["labels"], labels)
+
+
 def test_np_ops_match_jax_versions(rng):
     import jax.numpy as jnp
 

@@ -102,3 +102,90 @@ def test_dryrun_multichip_self_bootstraps_from_initialized_jax():
 
     assert "jax" in sys.modules  # precondition: the hostile case
     g.dryrun_multichip(2)  # raises on child failure
+
+
+def test_spatially_sharded_train_step_matches_unsharded(tiny_setup):
+    """Whole-volume (no-crop) TRAINING over the ('space',) axis: the fused
+    train step jitted with the volume H axis sharded 4-way must match the
+    unsharded step's pre-update scalars (CE, dp_loss, dice). On hardware the
+    same path runs 128^3 L4 volumes (BASELINE.md stretch config); shapes here
+    are CPU-small, the program (halo-exchanged convs via GSPMD) is the same.
+    """
+    model, state, step, batch_np = tiny_setup
+    key = jax.random.PRNGKey(7)
+
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    _, m1 = step(state, batch1, 0.01, key)
+
+    mesh = make_mesh(data=2, space=4)
+    with mesh:
+        state_s = replicate_state(state, mesh)
+        batch_s = shard_batch(batch_np, mesh, spatial_axis=True)
+        _, ms = step(state_s, batch_s, 0.01, key)
+
+    for k in ("ce_loss", "dp_loss"):
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(ms[k]), rtol=5e-4, atol=1e-5
+        )
+    # A handful of near-tie voxels flip argmax under the sharded reduction
+    # order; on these tiny volumes that moves per-sample dice by ~3e-4.
+    np.testing.assert_allclose(
+        np.asarray(m1["dice"]), np.asarray(ms["dice"]), atol=1e-3,
+        equal_nan=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh_driver_runs(tmp_path_factory):
+    """Two identical train_dl runs on the synthetic fixture: single-device vs
+    a data=8 mesh (config.mesh_data_axis — the production driver path)."""
+    from deep_staple_tpu.data.synthetic import generate_synthetic_crossmoda
+    from deep_staple_tpu.train.driver import train_dl
+    from deep_staple_tpu.train.prepare import prepare_data
+
+    root = tmp_path_factory.mktemp("meshsynth")
+    generate_synthetic_crossmoda(
+        root, num_cases=6, atlas_count=2, bad_atlases_per_case=1,
+        size=(16, 16, 16), seed=0,
+    )
+
+    def run(mesh_axis):
+        # One epoch: after the first AdamW step the model params differ by
+        # ~lr*sign(fp-noise) across shardings (see the data-parallel test's
+        # docstring), so later-epoch DP grads diverge O(1) by construction.
+        # One step proves the driver's mesh path end-to-end with comparable
+        # numbers.
+        config = TrainConfig(
+            dataset="synthetic", reg_state="synthetic",
+            dataset_directory=str(root), crop_3d_w_dim_range=None,
+            epochs=1, batch_size=8, num_val_images=2,
+            use_checkpointing=False, ool_mode="fused", save_every=1000,
+            save_labels=False, log_jsonl=False,
+            output_dir=str(root / f"out{mesh_axis}"),
+            mdl_save_prefix=str(root / f"models{mesh_axis}"),
+            mesh_data_axis=mesh_axis,
+        )
+        dataset, atlas_count = prepare_data(config)
+        return train_dl(f"mesh{mesh_axis}-test", config, dataset, atlas_count)
+
+    return run(1), run(8)
+
+
+def test_train_dl_mesh_matches_single_device(mesh_driver_runs):
+    res1, res8 = (r[0] for r in mesh_driver_runs)
+
+    h1 = [r for r in res1["writer"].history if "losses/loss_fold0" in r]
+    h8 = [r for r in res8["writer"].history if "losses/loss_fold0" in r]
+    assert len(h1) == len(h8) == 1
+    for a, b in zip(h1, h8):
+        np.testing.assert_allclose(
+            a["losses/loss_fold0"], b["losses/loss_fold0"], rtol=5e-4
+        )
+
+    dp1 = np.asarray(res1["state"].dp_params)
+    dp8 = np.asarray(res8["state"].dp_params)
+    np.testing.assert_allclose(dp1, dp8, atol=1e-3)
+    # Same DP oracle: every trained instance moved in the same direction.
+    t = res1["train_idxs"]
+    assert np.all(np.sign(dp1[t]) == np.sign(dp8[t]))
+    assert np.all(dp1[t] != 0) and np.all(dp8[t] != 0)
