@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv3d import depthwise_conv3d_shifted
 from ..ops.resample import resize_nd
 
 # Backbone channel spec, reference :171-174 (for in_num=1).
@@ -55,6 +56,26 @@ def torch_default_bias_init(fan_in: int):
     return init
 
 
+class _DepthwiseConv3D(nn.Module):
+    """Param-compatible replacement for the depthwise nn.Conv (same module
+    name 'Conv_0', same kernel shape (k,k,k,1,C)) computing the conv as 27
+    shifted VPU FMAs instead of XLA's slow grouped-conv path — see
+    ops/conv3d.py."""
+
+    features: int
+    kernel: int
+    stride: int
+    kernel_init: nn.initializers.Initializer
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param(
+            "kernel", self.kernel_init, (self.kernel,) * 3 + (1, self.features), jnp.float32
+        )
+        return depthwise_conv3d_shifted(x, k.astype(self.dtype or x.dtype), self.stride)
+
+
 class ConvBN(nn.Module):
     """Conv3d (no bias) + BatchNorm + optional activation."""
 
@@ -67,21 +88,29 @@ class ConvBN(nn.Module):
     kernel_init: nn.initializers.Initializer = kaiming_normal_fan_out
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    depthwise_impl: str = "shift"  # 'shift' (VPU FMAs) | 'xla' (grouped conv)
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad = self.dilation * (self.kernel // 2)
-        x = nn.Conv(
-            self.features,
-            (self.kernel,) * 3,
-            strides=(self.stride,) * 3,
-            padding=[(pad, pad)] * 3,
-            kernel_dilation=(self.dilation,) * 3,
-            feature_group_count=self.groups,
-            use_bias=False,
-            kernel_init=self.kernel_init,
-            dtype=self.dtype,
-        )(x)
+        if self.groups == self.features and self.groups > 1 and self.depthwise_impl == "shift":
+            assert self.dilation == 1 and x.shape[-1] == self.features
+            x = _DepthwiseConv3D(
+                self.features, self.kernel, self.stride,
+                kernel_init=self.kernel_init, dtype=self.dtype, name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel,) * 3,
+                strides=(self.stride,) * 3,
+                padding=[(pad, pad)] * 3,
+                kernel_dilation=(self.dilation,) * 3,
+                feature_group_count=self.groups,
+                use_bias=False,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -105,6 +134,7 @@ class InvertedResidual3D(nn.Module):
     first_full_conv: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    depthwise_impl: str = "shift"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -118,7 +148,7 @@ class InvertedResidual3D(nn.Module):
             y = ConvBN(self.midc, kernel=1, act="relu6", axis_name=self.axis_name, dtype=self.dtype)(y, train)
         y = ConvBN(
             self.midc, kernel=3, stride=self.stride, groups=self.midc, act="relu6",
-            axis_name=self.axis_name, dtype=self.dtype,
+            axis_name=self.axis_name, dtype=self.dtype, depthwise_impl=self.depthwise_impl,
         )(y, train)
         y = ConvBN(self.outc, kernel=1, act=None, axis_name=self.axis_name, dtype=self.dtype)(y, train)
         if residual:
@@ -131,6 +161,7 @@ class BackboneHigh3D(nn.Module):
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    depthwise_impl: str = "shift"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -138,6 +169,7 @@ class BackboneHigh3D(nn.Module):
             x = InvertedResidual3D(
                 MID_CHANNELS[i], OUT_CHANNELS[i], int(MID_STRIDE[i]),
                 first_full_conv=(i == 0), axis_name=self.axis_name, dtype=self.dtype,
+                depthwise_impl=self.depthwise_impl,
             )(x, train)
         return x
 
@@ -147,6 +179,7 @@ class BackboneLow3D(nn.Module):
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    depthwise_impl: str = "shift"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -154,6 +187,7 @@ class BackboneLow3D(nn.Module):
             x = InvertedResidual3D(
                 MID_CHANNELS[i], OUT_CHANNELS[i], int(MID_STRIDE[i]),
                 axis_name=self.axis_name, dtype=self.dtype,
+                depthwise_impl=self.depthwise_impl,
             )(x, train)
         return x
 
@@ -274,6 +308,7 @@ class MobileNetLRASPP3D(nn.Module):
     use_checkpointing: bool = True
     head_type: str = "lraspp"  # 'lraspp' | 'conv'
     dropout_rate: float = 0.5  # ASPP dropout; 0.0 for torch-parity testing
+    depthwise_impl: str = "shift"  # see ops/conv3d.py; 'xla' = grouped conv
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
 
@@ -281,6 +316,7 @@ class MobileNetLRASPP3D(nn.Module):
     def __call__(self, x, train: bool = False):
         in_spatial = x.shape[1:4]
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
+        bb_kw = dict(depthwise_impl=self.depthwise_impl, **kw)
 
         him_cls, lom_cls, aspp_cls = BackboneHigh3D, BackboneLow3D, ASPP3D
         head_cls = LRASPPHead3D if self.head_type == "lraspp" else ConvHead3D
@@ -293,8 +329,8 @@ class MobileNetLRASPP3D(nn.Module):
 
         x = x.astype(self.dtype or x.dtype)
         # Explicit names keep parameter paths identical with/without remat.
-        high = him_cls(**kw, name="him")(x, train)
-        low = lom_cls(**kw, name="lom")(high, train)
+        high = him_cls(**bb_kw, name="him")(x, train)
+        low = lom_cls(**bb_kw, name="lom")(high, train)
         low = aspp_cls(dropout_rate=self.dropout_rate, **kw, name="aspp")(low, train)
         y = head_cls(num_classes=self.num_classes, **kw, name="head")(low, high, train)
 

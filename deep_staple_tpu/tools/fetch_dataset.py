@@ -5,9 +5,11 @@ pipeline TCIA download -> case sorting -> DICOM/RTSTRUCT->NIfTI conversion ->
 CrossMoDa renaming/routing -> L2/L3/L4 level building, but with first-party
 converters (no Slicer/Docker; see tools/dicom_convert.py).
 
-The download step itself needs network access to TCIA (the reference drives
-the NBIA retriever + curl, cells 3-6); in an offline environment start from a
-pre-downloaded folder with --skip-download.
+The download step pulls the collection through NBIA's public REST API
+(tools/tcia_download.py — first-party replacement for the reference's java
+NBIA Data Retriever, cells 3-6), optionally restricted by a .tcia manifest.
+In an offline environment start from a pre-downloaded folder with
+--skip-download.
 
     python -m deep_staple_tpu.tools.fetch_dataset --workdir data/raw \
         --dataset-root data/crossmoda_dataset --mapping crossmoda_tcia_mapping.csv \
@@ -32,6 +34,9 @@ def main(argv=None):
     p.add_argument("--dataset-root", required=True)
     p.add_argument("--mapping", required=True, help="tcia->crossmoda CSV (242 rows in the reference)")
     p.add_argument("--skip-download", action="store_true")
+    p.add_argument("--manifest", default=None,
+                   help="optional .tcia manifest restricting the series to download")
+    p.add_argument("--nbia-base-url", default=None, help="override the NBIA API endpoint")
     p.add_argument("--centers", default=None, help="cochlea centers pickle for L4")
     args = p.parse_args(argv)
 
@@ -42,13 +47,15 @@ def main(argv=None):
     l1_dir = Path(args.dataset_root) / "L1_original"
 
     if not args.skip_download:
-        print(f"Downloading TCIA collection '{TCIA_COLLECTION}' via NBIA API...")
+        from . import tcia_download
+
+        print(f"Downloading TCIA collection '{TCIA_COLLECTION}' via the NBIA REST API...")
         raw.mkdir(parents=True, exist_ok=True)
-        # The reference uses the NBIA data retriever CLI; an equivalent REST
-        # pull would go here. In offline environments use --skip-download.
-        raise SystemExit(
-            "Automatic download requires network access to services.cancerimagingarchive.net; "
-            f"place the raw DICOM tree under {raw} and rerun with --skip-download."
+        kw = {}
+        if args.nbia_base_url:
+            kw["base_url"] = args.nbia_base_url
+        tcia_download.download_collection(
+            raw, collection=TCIA_COLLECTION, manifest=args.manifest, **kw
         )
 
     print("1/4 sorting TCIA cases")

@@ -65,3 +65,27 @@ def test_2d_model_forward():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     out = model.apply(variables, x, train=False)["out"]
     assert out.shape == (1, 32, 32, 2)
+
+
+def test_depthwise_shift_impl_matches_xla_grouped_conv():
+    """The shifted-FMA depthwise conv (ops/conv3d.py) must equal XLA's grouped
+    conv: same param tree, same outputs, same grads, covering stride 1 and the
+    backbone's stride-2 block (block 6) plus odd spatial dims."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 9, 8, 1))
+    m_shift = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False, depthwise_impl="shift")
+    m_xla = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False, depthwise_impl="xla")
+    v = m_shift.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    v2 = m_xla.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    out_s = m_shift.apply(v, x, train=False)["out"]
+    out_x = m_xla.apply(v, x, train=False)["out"]
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_x), rtol=1e-5, atol=1e-5)
+
+    def loss(variables, model):
+        return jnp.sum(model.apply(variables, x, train=False)["out"] ** 2)
+
+    g_s = jax.grad(loss)(v, m_shift)["params"]
+    g_x = jax.grad(loss)(v, m_xla)["params"]
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
