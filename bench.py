@@ -82,10 +82,12 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
     }
     key = jax.random.PRNGKey(0)
 
-    # compile + warmup
+    # compile + warmup. Sync via a host transfer of the loss: on the axon
+    # tunnel jax.block_until_ready returns immediately (documented in
+    # CLAUDE.md), so only a device->host read is a real barrier.
     t0 = time.time()
     state, m = train_step(state, batch, 0.01, key)
-    jax.block_until_ready(m["loss"])
+    _ = float(np.asarray(m["loss"]))
     _eprint(f"compile+first step: {time.time()-t0:.1f}s")
 
     times = []
@@ -93,7 +95,7 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
         key, k = jax.random.split(key)
         t0 = time.time()
         state, m = train_step(state, batch, 0.01, k)
-        jax.block_until_ready(m["loss"])
+        _ = float(np.asarray(m["loss"]))  # host transfer = real sync
         times.append(time.time() - t0)
     sec = float(np.median(times))
     _eprint(

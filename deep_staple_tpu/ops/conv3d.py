@@ -6,12 +6,17 @@ put the backbone's depthwise/1x1 stages at ~573 ms of a 720 ms model fwd/bwd
 at b8/192x192x75 — ~2% MFU). A 3x3x3 depthwise conv is mathematically
 `sum_k w[k] * shift_k(x)`: 27 elementwise FMAs over the channels-last tensor,
 which the VPU executes at full width and XLA fuses into a single pass.
-Backward differentiates into the mirrored shifted FMAs — no grouped-conv
-transpose in either direction.
 
-Semantics match `nn.Conv(features=C, kernel=(3,3,3), padding=1, stride=s,
+The backward is a hand-written custom_vjp in the same shifted-FMA form —
+grad_x is the stride-transposed conv with the flipped kernel, grad_w is one
+fused multi-accumulator reduction. Without it, XLA's autodiff of the 27
+slice/pad pairs materializes per-tap padded temps (measured 44.7 GB HBM
+demand at b8/192x192x75 — 3x the chip) instead of fusing them.
+
+Semantics match `nn.Conv(features=C, kernel=(3,3,3), padding=k//2, stride=s,
 feature_group_count=C, use_bias=False)` exactly (same kernel layout
-(kD, kH, kW, 1, C)); gate-tested in tests/test_models.py.
+(kD, kH, kW, 1, C)); fwd/grad gate-tested vs the XLA grouped conv in
+tests/test_models.py.
 
 Reference counterpart: the depthwise stage of every backbone block,
 `deep_staple/MobileNet_LR_ASPP_3D.py:144` (nn.Conv3d(..., groups=midc)).
@@ -19,25 +24,77 @@ Reference counterpart: the depthwise stage of every backbone block,
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 
+def _shifted_fma(xp, kernel, out_dims, stride: int, flip: bool):
+    """sum_k w[k] * xp[k : k+D : stride] over all kernel taps.
+
+    xp is the already-padded input; out_dims the unstrided source extents.
+    """
+    kD, kH, kW = kernel.shape[:3]
+    D, H, W = out_dims
+    out = None
+    for dz in range(kD):
+        for dy in range(kH):
+            for dx in range(kW):
+                w = kernel[kD - 1 - dz, kH - 1 - dy, kW - 1 - dx, 0] if flip else kernel[dz, dy, dx, 0]
+                sl = xp[:, dz : dz + D : stride, dy : dy + H : stride, dx : dx + W : stride, :]
+                term = sl * w
+                out = term if out is None else out + term
+    return out
+
+
+def _pad_spatial(x, pads):
+    return jnp.pad(
+        x, ((0, 0), (pads[0], pads[0]), (pads[1], pads[1]), (pads[2], pads[2]), (0, 0))
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def depthwise_conv3d_shifted(x, kernel, stride: int = 1):
     """x: (B, D, H, W, C); kernel: (kD, kH, kW, 1, C); 'same' padding k//2.
 
     Returns (B, ceil(D/stride), ceil(H/stride), ceil(W/stride), C).
     """
     kD, kH, kW = kernel.shape[:3]
+    xp = _pad_spatial(x, (kD // 2, kH // 2, kW // 2))
+    return _shifted_fma(xp, kernel, x.shape[1:4], stride, flip=False)
+
+
+def _dw_fwd(x, kernel, stride: int):
+    return depthwise_conv3d_shifted(x, kernel, stride), (x, kernel)
+
+
+def _dw_bwd(stride: int, res, g):
+    x, kernel = res
+    kD, kH, kW = kernel.shape[:3]
     pads = (kD // 2, kH // 2, kW // 2)
-    B, D, H, W, C = x.shape
-    xp = jnp.pad(
-        x, ((0, 0), (pads[0], pads[0]), (pads[1], pads[1]), (pads[2], pads[2]), (0, 0))
-    )
-    out = None
+    D, H, W = x.shape[1:4]
+
+    if stride != 1:
+        # Transposed conv: dilate the cotangent back to input resolution.
+        gd = jnp.zeros(x.shape[:1] + (D, H, W) + x.shape[4:], g.dtype)
+        gd = gd.at[:, ::stride, ::stride, ::stride, :].set(g)
+    else:
+        gd = g
+    gp = _pad_spatial(gd, pads)
+    gx = _shifted_fma(gp, kernel, (D, H, W), 1, flip=True)
+
+    # grad_w[k, 0, c] = sum_{b,p} xp[k + stride*p, c] * g[p, c]; one pass over
+    # (xp, g) with 27 accumulators (XLA multi-output fusion keeps it fused).
+    xp = _pad_spatial(x, pads)
+    gw_taps = []
     for dz in range(kD):
         for dy in range(kH):
             for dx in range(kW):
                 sl = xp[:, dz : dz + D : stride, dy : dy + H : stride, dx : dx + W : stride, :]
-                term = sl * kernel[dz, dy, dx, 0]
-                out = term if out is None else out + term
-    return out
+                gw_taps.append(jnp.sum((sl * g).reshape(-1, x.shape[-1]), axis=0))
+    gw = jnp.stack(gw_taps).reshape(kD, kH, kW, 1, x.shape[-1]).astype(kernel.dtype)
+    return gx.astype(x.dtype), gw
+
+
+depthwise_conv3d_shifted.defvjp(_dw_fwd, _dw_bwd)

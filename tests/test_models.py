@@ -89,3 +89,41 @@ def test_depthwise_shift_impl_matches_xla_grouped_conv():
     g_x = jax.grad(loss)(v, m_xla)["params"]
     for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("stride,dims", [(1, (7, 6, 5)), (2, (8, 7, 6)), (2, (9, 9, 9))])
+def test_depthwise_conv3d_custom_vjp_matches_xla(stride, dims):
+    """Op-level gate for the hand-written VJP of `depthwise_conv3d_shifted`
+    (ops/conv3d.py): grad_x and grad_w must match XLA's grouped-conv autodiff
+    for stride 1 and 2, odd and even extents (the dilated-cotangent edge
+    cases)."""
+    import jax.lax as lax
+
+    from deep_staple_tpu.ops.conv3d import depthwise_conv3d_shifted
+
+    C = 4
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = jax.random.normal(k1, (2, *dims, C))
+    w = jax.random.normal(k2, (3, 3, 3, 1, C))
+    g_seed = jax.random.normal(k3, (1,))  # fixed scalar to mix the output
+
+    def xla_ref(x, w):
+        return lax.conv_general_dilated(
+            x, w, window_strides=(stride,) * 3, padding=[(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), feature_group_count=C,
+        )
+
+    out_s = depthwise_conv3d_shifted(x, w, stride)
+    out_x = xla_ref(x, w)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_x), rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        def inner(x, w):
+            y = fn(x, w)
+            return jnp.sum(y * jnp.sin(g_seed[0] + y))  # non-uniform cotangent
+        return inner
+
+    gx_s, gw_s = jax.grad(loss(lambda a, b: depthwise_conv3d_shifted(a, b, stride)), argnums=(0, 1))(x, w)
+    gx_x, gw_x = jax.grad(loss(xla_ref), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_x), rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_x), rtol=5e-3, atol=1e-4)
