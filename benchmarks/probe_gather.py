@@ -125,13 +125,33 @@ def probe_grid_gather(n_tiles=170, rows=8192, axis=0):
         print(f"pallas grid gather: FAILED {type(e).__name__}: {str(e)[:300]}")
 
 
+def probe_xla_gather_complex(P=22_000_000, V=2_700_000):
+    """Gather element width test: if throughput is per-ELEMENT (not per-byte),
+    a complex64 gather fetches two f32 corners for the price of one — the
+    basis of the paired trilinear warp in ops/augment.py."""
+    rng = np.random.RandomState(0)
+    re = rng.randn(V).astype(np.float32)
+    vol = jax.lax.complex(jnp.asarray(re), jnp.asarray(re[::-1].copy()))
+    idx = jnp.asarray(rng.randint(0, V, size=(P,)).astype(np.int32))
+
+    @jax.jit
+    def f(vol, idx):
+        g = vol[idx]
+        return jnp.sum(jnp.real(g) + jnp.imag(g))
+
+    dt = timeit(f, vol, idx, name=f"XLA 1D complex64 gather P={P/1e6:.0f}M")
+    print(f"  -> {P/dt/1e6:.0f} M pair/s = {2*P/dt/1e6:.0f} M f32/s")
+
+
 if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     print("devices:", jax.devices())
-    for rows in (8, 64, 1024, 8192):
+    for rows in (8, 64, 1024, 8192, 36864):
         probe_pallas_dynamic_gather(rows=rows, axis=0)
     probe_pallas_dynamic_gather(rows=1024, axis=1)
+    probe_pallas_dynamic_gather(rows=8192, axis=1)
     probe_pallas_dynamic_gather(rows=1024, axis=0, dtype=jnp.bfloat16)
     probe_grid_gather()
     probe_xla_gather(P=2_200_000)
     probe_xla_gather(P=22_000_000)
+    probe_xla_gather_complex(P=22_000_000)

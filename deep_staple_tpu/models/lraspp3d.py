@@ -88,12 +88,18 @@ class ConvBN(nn.Module):
     kernel_init: nn.initializers.Initializer = kaiming_normal_fan_out
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    depthwise_impl: str = "shift"  # 'shift' (VPU FMAs) | 'xla' (grouped conv)
+    # "xla" grouped conv | "shift" 27 VPU FMAs (ops/conv3d.py) | "hybrid"
+    # shift for stride-1 + xla for stride-2 (stride-2 shifted slices lower to
+    # gather temps — the measured pathology of all-"shift": 4.2s vs 2.6s step)
+    depthwise_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad = self.dilation * (self.kernel // 2)
-        if self.groups == self.features and self.groups > 1 and self.depthwise_impl == "shift":
+        use_shift = self.depthwise_impl == "shift" or (
+            self.depthwise_impl == "hybrid" and self.stride == 1
+        )
+        if self.groups == self.features and self.groups > 1 and use_shift:
             assert self.dilation == 1 and x.shape[-1] == self.features
             x = _DepthwiseConv3D(
                 self.features, self.kernel, self.stride,
@@ -134,7 +140,7 @@ class InvertedResidual3D(nn.Module):
     first_full_conv: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    depthwise_impl: str = "shift"
+    depthwise_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -161,7 +167,7 @@ class BackboneHigh3D(nn.Module):
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    depthwise_impl: str = "shift"
+    depthwise_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -179,7 +185,7 @@ class BackboneLow3D(nn.Module):
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    depthwise_impl: str = "shift"
+    depthwise_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -308,7 +314,7 @@ class MobileNetLRASPP3D(nn.Module):
     use_checkpointing: bool = True
     head_type: str = "lraspp"  # 'lraspp' | 'conv'
     dropout_rate: float = 0.5  # ASPP dropout; 0.0 for torch-parity testing
-    depthwise_impl: str = "shift"  # see ops/conv3d.py; 'xla' = grouped conv
+    depthwise_impl: str = "xla"  # 'shift' (ops/conv3d.py) measured slower on v5e: stride-2 taps lower to gathers (4.2s vs 2.6s strict step)
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
 

@@ -183,11 +183,19 @@ def _warp_trilinear_border(vol, grid):
     wy = y - y0
     wz = z - z0
 
-    # Plain flattened element gathers: TPU element gathers execute at
-    # ~110M elements/s (profiler-verified; a (1,2)-slice lax.gather lowers
-    # WORSE — 311ms vs 207ms per corner at 22M voxels, and optimization
-    # barriers around the gathers change nothing). This cost is why the
-    # 'fast' augment order (fewer gathered voxels) exists.
+    # Plain flattened element gathers — the measured optimum. The TPU gather
+    # is scalar-unit issue-bound (~145M idx/s probed on v5e, independent of
+    # index coherence; benchmarks/probe_gather.py). Probed dead ends, for the
+    # record: (a) complex64 pair-packing (both x-corners per word) is 3x
+    # slower per word — wide gather words cost per-byte; (b) one lax.gather
+    # with slice_sizes (2,2,2) fetching the whole corner cube per index is
+    # layout-doomed — XLA canonicalizes gather outputs with slice dims minor,
+    # f32[P,2,2,2]{T(2,128)} pads 64x = 45GB at bench scale, regardless of
+    # offset_dims order; (c) Mosaic tpu.dynamic_gather compiles only for
+    # <=8-row blocks (axis 0) or lane-local indices (axis 1), so no Pallas
+    # kernel can express the arbitrary (row, lane) access of a spatial warp.
+    # This gather wall is why the 'fast' augment order (3.4x fewer gathered
+    # voxels) exists.
     vf = vol.reshape(B, D * H * W)
     out = 0.0
     for dz in (0, 1):

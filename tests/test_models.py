@@ -67,12 +67,14 @@ def test_2d_model_forward():
     assert out.shape == (1, 32, 32, 2)
 
 
-def test_depthwise_shift_impl_matches_xla_grouped_conv():
+@pytest.mark.parametrize("impl", ["shift", "hybrid"])
+def test_depthwise_shift_impl_matches_xla_grouped_conv(impl):
     """The shifted-FMA depthwise conv (ops/conv3d.py) must equal XLA's grouped
     conv: same param tree, same outputs, same grads, covering stride 1 and the
-    backbone's stride-2 block (block 6) plus odd spatial dims."""
+    backbone's stride-2 block (block 6) plus odd spatial dims. 'hybrid' mixes
+    shift (stride-1) with xla (stride-2) and must still share the param tree."""
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 9, 8, 1))
-    m_shift = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False, depthwise_impl="shift")
+    m_shift = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False, depthwise_impl=impl)
     m_xla = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False, depthwise_impl="xla")
     v = m_shift.init({"params": jax.random.PRNGKey(1)}, x, train=False)
     v2 = m_xla.init({"params": jax.random.PRNGKey(1)}, x, train=False)
