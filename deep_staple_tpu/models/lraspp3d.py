@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.conv3d import depthwise_conv3d_shifted
+from ..ops.conv3d_pallas import depthwise_conv3d_pallas
 from ..ops.resample import resize_nd
 
 # Backbone channel spec, reference :171-174 (for in_num=1).
@@ -68,11 +69,16 @@ class _DepthwiseConv3D(nn.Module):
     kernel_init: nn.initializers.Initializer
     dtype: Optional[jnp.dtype] = None
 
+    impl: str = "shift"  # 'shift' (ops/conv3d.py) | 'pallas' (ops/conv3d_pallas.py)
+
     @nn.compact
     def __call__(self, x):
         k = self.param(
             "kernel", self.kernel_init, (self.kernel,) * 3 + (1, self.features), jnp.float32
         )
+        if self.impl == "pallas":
+            assert self.stride == 1 and self.kernel == 3
+            return depthwise_conv3d_pallas(x, k.astype(self.dtype or x.dtype))
         return depthwise_conv3d_shifted(x, k.astype(self.dtype or x.dtype), self.stride)
 
 
@@ -96,14 +102,15 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         pad = self.dilation * (self.kernel // 2)
-        use_shift = self.depthwise_impl == "shift" or (
-            self.depthwise_impl == "hybrid" and self.stride == 1
+        use_own = self.depthwise_impl == "shift" or (
+            self.depthwise_impl in ("hybrid", "pallas") and self.stride == 1
         )
-        if self.groups == self.features and self.groups > 1 and use_shift:
+        if self.groups == self.features and self.groups > 1 and use_own:
             assert self.dilation == 1 and x.shape[-1] == self.features
             x = _DepthwiseConv3D(
                 self.features, self.kernel, self.stride,
                 kernel_init=self.kernel_init, dtype=self.dtype, name="Conv_0",
+                impl="pallas" if self.depthwise_impl == "pallas" else "shift",
             )(x)
         else:
             x = nn.Conv(

@@ -67,7 +67,7 @@ def test_2d_model_forward():
     assert out.shape == (1, 32, 32, 2)
 
 
-@pytest.mark.parametrize("impl", ["shift", "hybrid"])
+@pytest.mark.parametrize("impl", ["shift", "hybrid", "pallas"])
 def test_depthwise_shift_impl_matches_xla_grouped_conv(impl):
     """The shifted-FMA depthwise conv (ops/conv3d.py) must equal XLA's grouped
     conv: same param tree, same outputs, same grads, covering stride 1 and the
