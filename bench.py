@@ -199,7 +199,11 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args(argv)
 
-    sec_tpu = measure_tpu_train_step(args.steps, args.dtype)
+    # Remat OFF for the headline: activation checkpointing is the
+    # reference's GPU-memory workaround (MobileNet_LR_ASPP_3D.py:206-222),
+    # semantically a no-op; at these shapes activations fit v5e HBM and the
+    # extra forward costs ~240ms/step (profiler-attributed).
+    sec_tpu = measure_tpu_train_step(args.steps, args.dtype, use_checkpointing=False)
     # secondary numbers (stderr): fast augmentation order, consensus, STAPLE
     try:
         # best-known configuration: fused OOL, base-resolution warp, no remat
