@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# CPU XLA compiles dominate suite wall-clock (~1-2 min per distinct jitted
+# config on this 1-core box); a persistent cache makes re-runs compile-free.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
