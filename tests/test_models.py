@@ -129,3 +129,36 @@ def test_depthwise_conv3d_custom_vjp_matches_xla(stride, dims):
     gx_x, gw_x = jax.grad(loss(xla_ref), argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_x), rtol=5e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_x), rtol=5e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,C", [((2, 7, 5, 4), 5), ((1, 8, 6, 5), 130)])
+def test_depthwise_conv3d_pallas_edge_shapes(shape, C):
+    """Direct gate for ops/conv3d_pallas.py edge cases: prime D (z-tile
+    fallback TZ=1) and C>128 (multi-lane-tile channel grid)."""
+    import jax.lax as lax
+
+    from deep_staple_tpu.ops.conv3d_pallas import depthwise_conv3d_pallas
+
+    B, D, H, W = shape
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.normal(k1, (B, D, H, W, C))
+    w = jax.random.normal(k2, (3, 3, 3, 1, C))
+
+    def xla_ref(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), feature_group_count=C,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(depthwise_conv3d_pallas(x, w)), np.asarray(xla_ref(x, w)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    def loss(f):
+        return lambda x, w: jnp.sum(jnp.sin(f(x, w)))
+
+    gx_p, gw_p = jax.grad(loss(depthwise_conv3d_pallas), argnums=(0, 1))(x, w)
+    gx_x, gw_x = jax.grad(loss(xla_ref), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x), rtol=1e-4, atol=1e-4)
