@@ -1,0 +1,155 @@
+"""Batch segmentation serving from a training checkpoint.
+
+`python -m deep_staple_tpu.serve --checkpoint <dir> --inputs a.nii.gz ... \
+    --output-dir out/`
+
+A production-facing surface the reference does not have (its only inference
+path is the in-training `inference_wrap`, `main_deep_staple.py:471-487`):
+load a `train/checkpoint.py` checkpoint once, preprocess arbitrary NIfTI
+volumes exactly like the CrossMoDa training pipeline
+(`CrossmodaHybridIdLoader.py:188-218` semantics: resample -> pad -> W-crop ->
+z-normalize), run the jitted eval forward at the reference's x2.0 eval scale
+(`HybridIdLoader.py:336`), and write label maps back onto each input's
+original voxel grid (nearest resize, inverse of the prep chain) with the
+source affine.
+
+The forward is compiled once per (batch, shape) and inputs are grouped into
+fixed-size batches (last batch padded) so serving N volumes costs one
+compile + ceil(N/B) executions. Throughput is reported from host-transfer
+syncs (block_until_ready is unreliable over the axon tunnel — CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .core.config import TrainConfig
+from .data.crossmoda import _prep_volume
+from .data.nifti import load_nifti, save_nifti
+from .data.np_ops import resize_nd_np
+from .train.checkpoint import restore_checkpoint
+from .train.driver import make_model
+from .train.state import create_state
+from .train.step import make_eval_step
+
+
+def load_serving_state(checkpoint_dir, size=(128, 128, 128)):
+    """Rebuild (model, config, state) from a checkpoint directory.
+
+    The DP-vector length is recovered from the serialized state itself, so a
+    checkpoint restores standalone without the original dataset. `size` is
+    the canonical training volume size (the reference's L4 level is 128^3,
+    `build_levels.py:129-155`).
+    """
+    from flax import serialization
+
+    checkpoint_dir = Path(checkpoint_dir)
+    config = TrainConfig.from_dict(json.loads((checkpoint_dir / "config.json").read_text()))
+    raw = serialization.msgpack_restore((checkpoint_dir / "state.msgpack").read_bytes())
+    dataset_len = int(np.asarray(raw["dp_params"]).reshape(-1).shape[0])
+
+    model, num_classes = make_model(config, num_classes=2)
+    in_ch = 12 if config.use_mind else 1
+    spatial = list(size)
+    if config.crop_3d_w_dim_range:
+        spatial[-1] = config.crop_3d_w_dim_range[1] - config.crop_3d_w_dim_range[0]
+    state, _ = create_state(model, (1, *spatial, in_ch), dataset_len)
+    state = restore_checkpoint(checkpoint_dir, state)
+    return model, config, state, num_classes
+
+
+def preprocess(volume, config: TrainConfig, size=(128, 128, 128)):
+    return _prep_volume(
+        volume, size, resample=True,
+        crop_3d_w_dim_range=config.crop_3d_w_dim_range, is_label=False, normalize=True,
+    )
+
+
+def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
+          eval_scale: float = 2.0, output_space: str = "input",
+          size=(128, 128, 128)):
+    size = tuple(size)
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    model, config, state, num_classes = load_serving_state(checkpoint_dir, size)
+    eval_step = make_eval_step(model, config, num_classes, eval_scale_factor=eval_scale)
+
+    vols, metas = [], []
+    for p in input_paths:
+        img = load_nifti(p)
+        data = img.get_fdata()
+        vols.append(preprocess(data, config, size))
+        metas.append((Path(p), data.shape, img.affine))
+
+    results = []
+    t0 = time.time()
+    n_exec = 0
+    for start in range(0, len(vols), batch_size):
+        chunk = vols[start : start + batch_size]
+        pad = batch_size - len(chunk)
+        batch_np = np.stack(chunk + [chunk[-1]] * pad)
+        batch = {
+            "image": jnp.asarray(batch_np),
+            "label": jnp.zeros(batch_np.shape, jnp.int32),
+        }
+        pred, _ = eval_step(state, batch)
+        pred_np = np.asarray(pred)[: len(chunk)]  # host transfer = sync
+        n_exec += 1
+        results.extend(list(pred_np))
+    dt = time.time() - t0
+    voxels = sum(int(np.prod(r.shape)) for r in results)
+    print(f"served {len(results)} volumes in {dt:.2f}s "
+          f"({n_exec} executions, {voxels/max(dt,1e-9)/1e6:.0f} M voxel/s)")
+
+    out_paths = []
+    for pred, (path, orig_shape, affine) in zip(results, metas):
+        if output_space == "input":
+            # Invert the prep chain: nearest-resize the eval-scale prediction
+            # back onto the ORIGINAL voxel grid. The W-crop region outside
+            # [crop_lo, crop_hi) is background by construction.
+            crop = config.crop_3d_w_dim_range
+            at_size_w = (crop[1] - crop[0]) if crop else size[-1]
+            pred_model = resize_nd_np(
+                pred.astype(np.float32), (*size[:-1], at_size_w), mode="nearest"
+            )
+            full = np.zeros(size, np.float32)
+            if crop:
+                full[..., crop[0] : crop[1]] = pred_model
+            else:
+                full = pred_model
+            out = resize_nd_np(full, orig_shape, mode="nearest").astype(np.int16)
+        else:
+            out = pred.astype(np.int16)
+        out_path = output_dir / (path.name.replace(".nii.gz", "").replace(".nii", "") + "_seg.nii.gz")
+        save_nifti(out_path, out, affine=affine)
+        out_paths.append(out_path)
+        print(f"  {path.name} -> {out_path.name} (fg voxels: {int((out > 0).sum())})")
+    return out_paths
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--checkpoint", required=True, help="directory with state.msgpack + config.json")
+    ap.add_argument("--inputs", nargs="+", required=True, help="input NIfTI volumes")
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--eval-scale", type=float, default=2.0,
+                    help="reference eval pre-interpolation (HybridIdLoader.py:336)")
+    ap.add_argument("--output-space", choices=("input", "eval"), default="input")
+    ap.add_argument("--size", type=int, nargs=3, default=(128, 128, 128),
+                    help="canonical training volume size (L4 default)")
+    args = ap.parse_args(argv)
+    serve(args.checkpoint, args.inputs, args.output_dir, args.batch_size,
+          args.eval_scale, args.output_space, tuple(args.size))
+
+
+if __name__ == "__main__":
+    main()
