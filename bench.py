@@ -215,6 +215,15 @@ def main(argv=None):
     except Exception as e:
         _eprint(f"fast-order bench skipped: {e}")
     try:
+        # + bf16-pair-packed image warp (4 gathers instead of 8; rounding an
+        # order of magnitude below the pipeline's own additive noise)
+        measure_tpu_train_step(
+            args.steps, args.dtype, ool_mode="fused", augment_order="fast-bf16",
+            use_checkpointing=False,
+        )
+    except Exception as e:
+        _eprint(f"fast-bf16 bench skipped: {e}")
+    try:
         measure_consensus_fusion()
     except Exception as e:  # secondary metric; never break the headline
         _eprint(f"consensus bench skipped: {e}")

@@ -114,7 +114,9 @@ class TrainConfig:
     compute_dtype: str = "float32"  # 'bfloat16' recommended on TPU
     # 'reference': interpolate-then-warp (reference-exact order);
     # 'fast': warp at base resolution then resize — same augmentation
-    # distribution, ~3x less gather work (see ops/augment.py).
+    # distribution, ~3x less gather work; '{fast,reference}-bf16': pack the
+    # image warp's x-corner pairs into one gather word (4 gathers instead of
+    # 8, ~0.4% voxel rounding << the pipeline's own noise). See ops/augment.py.
     augment_order: str = "reference"
     use_checkpointing: bool = True
     # Device mesh for the production driver (train_dl): batches are sharded

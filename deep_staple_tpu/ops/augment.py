@@ -156,17 +156,15 @@ def _unnormalize_ac_false(coord, size: int):
 
 
 def _warp_trilinear_border(vol, grid):
-    """Fast trilinear warp, padding_mode='border', align_corners=False.
+    """Exact trilinear warp, padding_mode='border', align_corners=False.
 
     vol: (B, D, H, W) f32; grid: (B, D', H', W', 3) of (x, y, z).
 
-    TPU-tuned gather structure: the x0/x0+1 corners are adjacent in memory, so
-    instead of 8 element gathers this issues 4 `lax.gather` calls fetching
-    (1, 2) slices along W — half the index traffic and half the gather starts,
-    which is what the op is bound by (measured ~1.7 GB/s effective on element
-    gathers). Numerics identical to `grid_sample_3d(..., 'bilinear',
-    'border')` for this padding mode (coordinates are pre-clamped so
-    x0 in [0, W-1] always).
+    Eight flattened element gathers — the measured optimum for EXACT f32
+    semantics on this chip (see the probed-dead-ends comment below and
+    benchmarks/probe_gather.py / probe_warp.py). Numerics identical to
+    `grid_sample_3d(..., 'bilinear', 'border')` (coordinates pre-clamped so
+    x0 in [0, W-1] always); gate-tested in tests/test_fast_warp.py.
     """
     B, D, H, W = vol.shape
     out_spatial = grid.shape[1:-1]
@@ -211,6 +209,60 @@ def _warp_trilinear_border(vol, grid):
                     * (wz if dz else 1 - wz)
                 )
                 out = out + v * w
+    return out.reshape((B,) + out_spatial)
+
+
+def _warp_trilinear_border_bf16pack(vol, grid):
+    """Trilinear warp with both x-corners packed as bf16 halves of one
+    32-bit gather word: 4 gathers instead of 8.
+
+    The TPU gather is per-index issue-bound (~145M idx/s regardless of
+    element width up to 32 bits — benchmarks/probe_gather.py), so halving
+    the index count halves the dominant warp cost. Values round through
+    bfloat16 (~0.4% relative) — an order of magnitude below the
+    augmentation pipeline's own additive noise (strength 0.05,
+    `torch_utils.py:94-95`), so the augmentation distribution is unchanged.
+    Used by augment order 'fast-bf16'; the exact path is
+    `_warp_trilinear_border`.
+    """
+    B, D, H, W = vol.shape
+    out_spatial = grid.shape[1:-1]
+    P = int(np.prod(out_spatial))
+
+    x = jnp.clip(_unnormalize_ac_false(grid[..., 0], W), 0, W - 1).reshape(B, P)
+    y = jnp.clip(_unnormalize_ac_false(grid[..., 1], H), 0, H - 1).reshape(B, P)
+    z = jnp.clip(_unnormalize_ac_false(grid[..., 2], D), 0, D - 1).reshape(B, P)
+
+    # Clamp x0 to W-2 so the (x0, x0+1) pair never crosses a row; at
+    # x == W-1 the pair weight moves fully onto the high corner (exact
+    # border semantics, same trick as grid_sample's high-edge handling).
+    x0 = jnp.minimum(jnp.floor(x).astype(jnp.int32), max(W - 2, 0))
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    wx = x - x0
+    wy = y - y0
+    wz = z - z0
+
+    v16 = jax.lax.bitcast_convert_type(vol.astype(jnp.bfloat16), jnp.uint16)
+    nxt = jnp.concatenate([v16[..., 1:], v16[..., -1:]], axis=-1)
+    packed = (v16.astype(jnp.uint32) << 16) | nxt.astype(jnp.uint32)
+    pf = packed.reshape(B, D * H * W)
+
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            lin = (
+                jnp.minimum(z0 + dz, D - 1) * H + jnp.minimum(y0 + dy, H - 1)
+            ) * W + x0
+            word = jnp.take_along_axis(pf, lin, axis=1)
+            v0 = jax.lax.bitcast_convert_type(
+                (word >> 16).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+            v1 = jax.lax.bitcast_convert_type(
+                (word & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+            v = v0 * (1 - wx) + v1 * wx
+            out = out + v * ((wy if dy else 1 - wy) * (wz if dz else 1 - wz))
     return out.reshape((B,) + out_spatial)
 
 
@@ -303,6 +355,14 @@ def augment_sample_pair(
         augmentation *distribution* is equivalent, the per-sample voxels
         differ slightly (interpolation order). 3D only; identical to
         'reference' under an identity warp.
+      'fast-bf16' — 'fast' plus the bf16-pair-packed image warp (4 gathers
+        instead of 8; ~0.4% voxel rounding, an order of magnitude below the
+        pipeline's own additive noise). Labels are unaffected (their packed
+        nearest gather is exact in both orders).
+      'reference-bf16' — reference ORDER (interpolate x{factor} first, warp
+        at the upscaled resolution) with the bf16-pair-packed image warp:
+        halves the dominant high-res gather cost while keeping the exact
+        reference interpolation order; labels exact.
 
     The two label warps share one nearest-neighbor gather (labels packed into
     one volume) — a quarter of the index traffic of two separate warps.
@@ -310,14 +370,17 @@ def augment_sample_pair(
     k_noise, k_spatial = jax.random.split(key)
     b_image = augment_noise(k_noise, b_image, params.noise_strength)
 
-    if order == "fast" and not use_2d:
+    if order in ("fast", "fast-bf16") and not use_2d:
         base_spatial = b_image.shape[1:]
         out_spatial = tuple(int(s * pre_interpolation_factor) for s in base_spatial)
         grid = make_augment_grid(
             k_spatial, b_image.shape[0], base_spatial, params, use_2d=False,
             strength_spatial=out_spatial,
         )
-        img = _warp_trilinear_border(b_image.astype(jnp.float32), grid)
+        warp_img = (
+            _warp_trilinear_border_bf16pack if order == "fast-bf16" else _warp_trilinear_border
+        )
+        img = warp_img(b_image.astype(jnp.float32), grid)
         packed = (b_label + 256 * b_modified_label).astype(jnp.float32)
         warped = _warp_nearest_zeros(packed, grid)
         img, _ = interpolate_sample(img, None, pre_interpolation_factor, False)
@@ -340,7 +403,11 @@ def augment_sample_pair(
         b_label = warped[:, 0].astype(jnp.int32)
         b_modified_label = warped[:, 1].astype(jnp.int32)
     else:
-        b_image = _warp_trilinear_border(b_image.astype(jnp.float32), grid)
+        warp_img = (
+            _warp_trilinear_border_bf16pack if order == "reference-bf16"
+            else _warp_trilinear_border
+        )
+        b_image = warp_img(b_image.astype(jnp.float32), grid)
         # One element-gather for BOTH labels: pack as label + 256*modified
         # (class ids < 256), warp nearest/zeros, unpack. Halves index traffic
         # vs a 2-channel gather and quarters it vs two separate warps.

@@ -84,3 +84,47 @@ def test_warp_edge_exact_coordinates():
     )[:, 0]
     got = np.asarray(_warp_trilinear_border(vol, grid))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_warp_trilinear_bf16pack_close_to_exact(rng):
+    """The bf16-pair-packed warp (4 gathers) must stay within bf16 rounding
+    of the exact 8-gather warp — well below the augmentation pipeline's own
+    additive-noise floor (strength 0.05)."""
+    from deep_staple_tpu.ops.augment import _warp_trilinear_border_bf16pack
+
+    B, D, H, W = 2, 14, 13, 9
+    vol = jnp.asarray(rng.randn(B, D, H, W).astype(np.float32))
+    grid = _random_grid(rng, B, (10, 11, 7))
+    exact = np.asarray(_warp_trilinear_border(vol, grid))
+    packed = np.asarray(_warp_trilinear_border_bf16pack(vol, grid))
+    # bf16 has ~3 decimal digits; values are ~N(0,1)
+    np.testing.assert_allclose(packed, exact, rtol=0, atol=2e-2)
+    assert float(np.abs(packed - exact).mean()) < 3e-3
+
+
+def test_fast_bf16_order_runs_and_matches_fast_closely(rng):
+    from deep_staple_tpu.ops.augment import AugmentParams, augment_sample_pair
+
+    img = jnp.asarray(rng.randn(2, 12, 12, 8).astype(np.float32))
+    lbl = jnp.asarray((rng.rand(2, 12, 12, 8) > 0.8).astype(np.int32))
+    key = jax.random.PRNGKey(4)
+    fast = augment_sample_pair(key, img, lbl, lbl, AugmentParams(), 1.5, order="fast")
+    fb16 = augment_sample_pair(key, img, lbl, lbl, AugmentParams(), 1.5, order="fast-bf16")
+    # same PRNG stream -> same warp; image differs only by bf16 rounding
+    np.testing.assert_allclose(np.asarray(fb16[0]), np.asarray(fast[0]), rtol=0, atol=3e-2)
+    # labels are bit-identical (packed nearest gather is shared & exact)
+    np.testing.assert_array_equal(np.asarray(fb16[1]), np.asarray(fast[1]))
+    np.testing.assert_array_equal(np.asarray(fb16[2]), np.asarray(fast[2]))
+
+
+def test_reference_bf16_order_matches_reference_closely(rng):
+    from deep_staple_tpu.ops.augment import AugmentParams, augment_sample_pair
+
+    img = jnp.asarray(rng.randn(2, 12, 12, 8).astype(np.float32))
+    lbl = jnp.asarray((rng.rand(2, 12, 12, 8) > 0.8).astype(np.int32))
+    key = jax.random.PRNGKey(9)
+    ref = augment_sample_pair(key, img, lbl, lbl, AugmentParams(), 1.5, order="reference")
+    rb16 = augment_sample_pair(key, img, lbl, lbl, AugmentParams(), 1.5, order="reference-bf16")
+    np.testing.assert_allclose(np.asarray(rb16[0]), np.asarray(ref[0]), rtol=0, atol=3e-2)
+    np.testing.assert_array_equal(np.asarray(rb16[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(rb16[2]), np.asarray(ref[2]))
