@@ -206,23 +206,22 @@ def main(argv=None):
     sec_tpu = measure_tpu_train_step(args.steps, args.dtype, use_checkpointing=False)
     # secondary numbers (stderr): fast augmentation order, consensus, STAPLE
     try:
-        # best-known configuration: fused OOL, base-resolution warp, no remat
-        # (the 1.2M-param model's activations fit HBM at these shapes)
-        measure_tpu_train_step(
-            args.steps, args.dtype, ool_mode="fused", augment_order="fast",
-            use_checkpointing=False,
-        )
-    except Exception as e:
-        _eprint(f"fast-order bench skipped: {e}")
-    try:
-        # + bf16-pair-packed image warp (4 gathers instead of 8; rounding an
-        # order of magnitude below the pipeline's own additive noise)
+        # best-known configuration: fused OOL, base-resolution warp with
+        # bf16-pair-packed image gathers, no remat (measured 782 ms/step)
         measure_tpu_train_step(
             args.steps, args.dtype, ool_mode="fused", augment_order="fast-bf16",
             use_checkpointing=False,
         )
     except Exception as e:
         _eprint(f"fast-bf16 bench skipped: {e}")
+    try:
+        # reference interpolation ORDER with the packed image warp (1695 ms)
+        measure_tpu_train_step(
+            args.steps, args.dtype, ool_mode="strict", augment_order="reference-bf16",
+            use_checkpointing=False,
+        )
+    except Exception as e:
+        _eprint(f"reference-bf16 bench skipped: {e}")
     try:
         measure_consensus_fusion()
     except Exception as e:  # secondary metric; never break the headline
