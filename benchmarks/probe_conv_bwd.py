@@ -2,9 +2,12 @@
 mathematically identical forward-form adjoint?
 
 For stride-1 'same' depthwise conv: grad_x = depthwise_conv(g, flip(w)) —
-exactly the same op shape as the forward (9.6ms in-model) while the
-autodiff transpose-conv measured ~24ms. grad_w = per-channel correlation,
-expressible as a conv with batch moved into the contraction.
+exactly the same op shape as the forward.
+
+MEASURED ANSWER: no — XLA's autodiff grad_x is already optimal
+(10.61 ms/op autodiff vs 10.69 ms/op forward-form, looped on v5e); the
+in-model 24ms "transpose conv" attribution covers grad_x AND grad_w
+together. No custom conv VJP is warranted.
 
 Looped state-threaded timing (tunnel dispatch floor ~29ms — CLAUDE.md).
 """
@@ -38,24 +41,6 @@ def gx_autodiff(x, w, g):
 def gx_fwdform(x, w, g):
     wf = w[::-1, ::-1, ::-1]
     return dw(g, wf)
-
-
-def gw_autodiff(x, w, g):
-    _, vjp = jax.vjp(lambda w_: dw(x, w_), w)
-    return vjp(g)[0]
-
-
-def gw_fwdform(x, w, g):
-    # gw[dz,dy,dx,0,c] = sum_{b,p} xpad[b, p+dz-1, ..., c] * g[b, p, ..., c]
-    # As a conv: treat (B) as the contraction "feature" per channel group:
-    # lhs = x as (C_batch=1?, ...) — use dimension_numbers with batch<->feature
-    # swap: lhs (B,D,H,W,C) -> ("fDHWb"? ) XLA conv grad-of-weights form:
-    xt = jnp.transpose(x, (4, 1, 2, 3, 0))  # (C, D, H, W, B)
-    gt = jnp.transpose(g, (1, 2, 3, 0, 4))  # (D, H, W, B, C)... per-channel
-    # Simpler: per-channel correlation via conv with feature_group_count=C:
-    # operand = x with batch as spatial? Keep it simple and measure the
-    # autodiff one only; fwd-form gw left as the naive shifted reduction.
-    raise NotImplementedError
 
 
 def timeit(fn, name, *args):

@@ -23,7 +23,6 @@ from deep_staple_tpu.ops.augment import (
     AugmentParams,
     _unnormalize_ac_false,
     _warp_nearest_zeros,
-    _warp_trilinear_border,
     make_augment_grid,
 )
 
