@@ -265,6 +265,22 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             perm = np.random.permutation(train_idxs)
             epx_losses, dices, class_dices = [], [], []
 
+            # One-step-deferred metric readback: the device->host sync for
+            # step k happens AFTER step k+1's batch is assembled and
+            # dispatched, so host-side batch prep overlaps device compute
+            # (JAX dispatch is async; values are unchanged, only the sync
+            # point moves).
+            pending_metrics = None
+
+            def _consume(metrics_dev):
+                metrics = jax.tree.map(np.asarray, metrics_dev)
+                epx_losses.append(float(metrics["loss"]))
+                b_dice = metrics["dice"]
+                dices.append(batch_dice_over_all(b_dice, exclude_bg=True))
+                class_dices.append(
+                    batch_dice_per_class(b_dice, dataset.label_tags, exclude_bg=True)
+                )
+
             for bstart in range(0, len(perm), config.batch_size):
                 bidx = perm[bstart : bstart + config.batch_size]
                 if mesh is not None:
@@ -286,17 +302,15 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                 rng, step_rng = jax.random.split(rng)
                 t0 = time.time()
                 state, metrics = train_step(state, batch, lr, step_rng)
-                metrics = jax.tree.map(np.asarray, metrics)
+                if pending_metrics is not None:
+                    _consume(pending_metrics)
+                pending_metrics = metrics
                 step_times.append(time.time() - t0)
 
                 # Scheduler quirk: step per batch when epx % atlas_count == 0 (:794-795).
                 if config.use_scheduling and epx % fold_atlas_count == 0:
                     sched_steps += 1
 
-                epx_losses.append(float(metrics["loss"]))
-                b_dice = metrics["dice"]
-                dices.append(batch_dice_over_all(b_dice, exclude_bg=True))
-                class_dices.append(batch_dice_per_class(b_dice, dataset.label_tags, exclude_bg=True))
 
                 # DP scatter figures every 10 batches (reference :797-806)
                 batch_no = bstart // config.batch_size
@@ -319,6 +333,9 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
 
                 if config.debug:
                     break
+
+            if pending_metrics is not None:
+                _consume(pending_metrics)
 
             if profiling:
                 jax.profiler.stop_trace()
