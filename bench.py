@@ -144,12 +144,12 @@ def measure_consensus_fusion(cases: int = 4, raters: int = 10, spatial=(256, 256
     dps = jnp.asarray(rng.randn(raters).astype(np.float32))
     fused = jax.jit(calc_dp_consensus)
     out = fused(lbls, dps)
-    jax.block_until_ready(out)
+    _ = float(np.asarray(out.reshape(-1)[0]))  # host transfer = real sync
     times = []
     for _ in range(cases):
         t0 = time.time()
         out = fused(lbls, dps)
-        jax.block_until_ready(out)
+        _ = float(np.asarray(out.reshape(-1)[0]))
         times.append(time.time() - t0)
     voxels = raters * np.prod(spatial)
     vps = voxels / float(np.median(times))

@@ -91,13 +91,21 @@ def run_train_step(fast: bool = False, iters: int = 3):
 
 
 _MODULE_PATTERNS = [
-    ("warp-gather", re.compile(r"gather|augment")),
-    ("him(blocks 0-1)", re.compile(r"/him/")),
-    ("lom(blocks 2-9)", re.compile(r"/lom/")),
-    ("aspp", re.compile(r"ASPP|aspp")),
-    ("head", re.compile(r"LRASPPHead|head")),
-    ("resize", re.compile(r"resize|interpolate")),
+    ("warp-gathers", re.compile(r"take_along_axis|gather")),
+    ("model him (blocks 0-1)", re.compile(r"/him/")),
+    ("model lom (blocks 2-9)", re.compile(r"/lom/")),
+    ("model aspp", re.compile(r"ASPP|aspp")),
+    ("model head", re.compile(r"LRASPPHead|/head/")),
+    ("resize/interp", re.compile(r"resize|interpolate")),
+    ("optimizer/while", re.compile(r"while")),
 ]
+
+
+def _bucket(label: str) -> str:
+    for name, pat in _MODULE_PATTERNS:
+        if pat.search(label):
+            return name
+    return "other"
 
 
 def attribute(trace_dir: str, top: int = 40):
@@ -146,6 +154,13 @@ def attribute(trace_dir: str, top: int = 40):
                 print("  plane:", plane.name, [l.name for l in plane.lines][:6])
         return
     print(f"total device time: {total/1e9:.2f} ms (all XLA Ops, {len(paths)} planes)")
+    buckets = collections.Counter()
+    for name, dur in by_op.items():
+        buckets[_bucket(name)] += dur
+    print("per-module buckets:")
+    for name, dur in buckets.most_common():
+        print(f"  {dur/1e9:9.2f} ms  {name}")
+    print(f"top {top} ops:")
     for name, dur in by_op.most_common(top):
         print(f"  {dur/1e9:9.2f} ms  {name[:110]}")
 

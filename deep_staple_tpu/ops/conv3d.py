@@ -92,7 +92,11 @@ def _dw_bwd(stride: int, res, g):
         for dy in range(kH):
             for dx in range(kW):
                 sl = xp[:, dz : dz + D : stride, dy : dy + H : stride, dx : dx + W : stride, :]
-                gw_taps.append(jnp.sum((sl * g).reshape(-1, x.shape[-1]), axis=0))
+                # f32 accumulation regardless of compute dtype: summing ~3M
+                # bf16 products per channel in bf16 would cancel away the
+                # mantissa (XLA's grouped conv accumulates in f32 too).
+                prod = sl.astype(jnp.float32) * g.astype(jnp.float32)
+                gw_taps.append(jnp.sum(prod.reshape(-1, x.shape[-1]), axis=0))
     gw = jnp.stack(gw_taps).reshape(kD, kH, kW, 1, x.shape[-1]).astype(kernel.dtype)
     return gx.astype(x.dtype), gw
 

@@ -127,7 +127,23 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
                 full = pred_model
             out = resize_nd_np(full, orig_shape, mode="nearest").astype(np.int16)
         else:
+            # Eval-grid output: rescale the affine so the header stays
+            # geometrically correct — eval voxel j along axis a maps to
+            # source voxel j * orig_a/(size_a * eval_scale) (+ the W-crop
+            # offset mapped back to source voxels).
             out = pred.astype(np.int16)
+            affine = np.array(affine, np.float64)
+            crop = config.crop_3d_w_dim_range
+            scales = [orig_shape[a] / size[a] / eval_scale for a in range(3)]
+            new_aff = affine.copy()
+            for a in range(3):
+                new_aff[:3, a] = affine[:3, a] * scales[a]
+            if crop:
+                new_aff[:3, 3] = (
+                    affine[:3, 3]
+                    + affine[:3, 2] * (crop[0] * orig_shape[2] / size[2])
+                )
+            affine = new_aff
         out_path = output_dir / (path.name.replace(".nii.gz", "").replace(".nii", "") + "_seg.nii.gz")
         save_nifti(out_path, out, affine=affine)
         out_paths.append(out_path)

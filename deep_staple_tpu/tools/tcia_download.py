@@ -73,9 +73,19 @@ def list_series(collection: str = TCIA_COLLECTION, base_url: str = NBIA_BASE) ->
     return json.loads(_get(url).decode())
 
 
+_DONE_MARKER = ".series_complete"
+
+
 def download_series(series_uid: str, out_dir, base_url: str = NBIA_BASE,
                     retries: int = 3) -> list[Path]:
-    """Fetch one series' DICOM zip and extract it under out_dir/<uid>/."""
+    """Fetch one series' DICOM zip and extract it under out_dir/<uid>/.
+
+    Zip member paths are preserved (sanitized against absolute/`..` escapes)
+    so same-named files in different subdirectories cannot clobber each
+    other; a completion marker is written only after the full extraction, so
+    an interrupted series is re-downloaded rather than silently resumed with
+    missing slices.
+    """
     url = f"{base_url}/getImage?SeriesInstanceUID={urllib.parse.quote(series_uid)}"
     payload = _get(url, retries=retries)
     dest = Path(out_dir) / series_uid
@@ -85,9 +95,12 @@ def download_series(series_uid: str, out_dir, base_url: str = NBIA_BASE,
         for name in zf.namelist():
             if name.endswith("/"):
                 continue
-            target = dest / Path(name).name
+            rel = Path(*(p for p in Path(name).parts if p not in ("..", "", "/")))
+            target = dest / rel
+            target.parent.mkdir(parents=True, exist_ok=True)
             target.write_bytes(zf.read(name))
             written.append(target)
+    (dest / _DONE_MARKER).write_text(f"{len(written)}\n")
     return written
 
 
@@ -96,8 +109,9 @@ def download_collection(out_dir, collection: str = TCIA_COLLECTION,
                         retries: int = 3) -> dict:
     """Download a whole collection (or just a manifest's series list).
 
-    Returns {series_uid: [extracted paths]}. Series that already have files on
-    disk are skipped, so interrupted downloads resume.
+    Returns {series_uid: [extracted paths]}. Series whose completion marker
+    exists are skipped, so interrupted downloads resume; a partially
+    extracted series (no marker) is re-fetched in full.
     """
     if manifest is not None:
         uids = parse_tcia_manifest(manifest)
@@ -106,8 +120,8 @@ def download_collection(out_dir, collection: str = TCIA_COLLECTION,
     out: dict = {}
     for i, uid in enumerate(uids):
         dest = Path(out_dir) / uid
-        if dest.is_dir() and any(dest.iterdir()):
-            out[uid] = sorted(dest.iterdir())
+        if (dest / _DONE_MARKER).is_file():
+            out[uid] = sorted(p for p in dest.rglob("*") if p.is_file() and p.name != _DONE_MARKER)
             continue
         print(f"[{i + 1}/{len(uids)}] {uid}")
         out[uid] = download_series(uid, out_dir, base_url, retries=retries)

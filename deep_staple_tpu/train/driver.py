@@ -410,7 +410,7 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             if config.export_pth_snapshot:
                 from ..data.snapshot_io import save_snapshot_pth
 
-                save_snapshot_pth(snapshot_path.with_suffix("").with_suffix(".pth"), snapshot)
+                save_snapshot_pth(snapshot_path.with_suffix(".pth"), snapshot)
             # Overview image of DP-sorted samples (the reference builds this at
             # :1047-1084 but hard-disables it with skip_writeout=True :1057;
             # here config.do_plot enables it).

@@ -23,8 +23,14 @@ def test_ratio_metric():
 # synthetic blobs. (FLIP_ROLL transposes+rolls with wraparound, which on
 # near-symmetric synthetic ellipsoids can be close to an identity map and
 # gives no per-sample CE signal to detect.)
-@pytest.mark.parametrize("mode", [LabelDisturbanceMode.AFFINE])
-def test_disturbed_samples_sink_to_low_dp(tmp_path, mode):
+# The second case gates the flagship perf config: the bf16-pair-packed fast
+# augment order must preserve the paper's core effect (disturbed samples
+# sinking to low DP) — the quality proof behind bench's best-known 782ms step.
+@pytest.mark.parametrize("mode,augment_order", [
+    (LabelDisturbanceMode.AFFINE, "reference"),
+    (LabelDisturbanceMode.AFFINE, "fast-bf16"),
+])
+def test_disturbed_samples_sink_to_low_dp(tmp_path, mode, augment_order):
     # clean dataset (no atlas override) so the disturbance engine is allowed
     generate_synthetic_crossmoda(tmp_path, num_cases=10, atlas_count=1, size=(16, 16, 16), seed=3)
     closure = get_crossmoda_data_load_closure(
@@ -42,6 +48,7 @@ def test_disturbed_samples_sink_to_low_dp(tmp_path, mode):
         use_checkpointing=False, ool_mode="fused", save_every=1000,
         save_labels=False, log_jsonl=False, lr_inst_param=0.2,
         disturbance_mode=mode, disturbance_strength=3.0, disturbed_percentage=0.4,
+        augment_order=augment_order,
         output_dir=str(tmp_path / "out"), mdl_save_prefix=str(tmp_path / "models"),
     )
     results = train_dl("disturb-test", config, dataset, atlas_count=1)

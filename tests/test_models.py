@@ -162,3 +162,34 @@ def test_depthwise_conv3d_pallas_edge_shapes(shape, C):
     gx_x, gw_x = jax.grad(loss(xla_ref), argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x), rtol=1e-4, atol=1e-4)
+
+
+def test_depthwise_conv3d_custom_vjp_bf16_grad_w_accumulates_f32():
+    """bf16 inputs: grad_w must match the XLA grouped conv (which accumulates
+    in f32) — guards the f32 accumulation in ops/conv3d.py's hand VJP; a bf16
+    reduction over ~10k terms would lose the mantissa entirely."""
+    import jax.lax as lax
+
+    from deep_staple_tpu.ops.conv3d import depthwise_conv3d_shifted
+
+    C = 3
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    x = jax.random.normal(k1, (2, 16, 16, 16, C)).astype(jnp.bfloat16)
+    w = jax.random.normal(k2, (3, 3, 3, 1, C)).astype(jnp.bfloat16)
+
+    def xla_ref(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), feature_group_count=C,
+        )
+
+    def loss(f):
+        return lambda x, w: jnp.sum(f(x, w).astype(jnp.float32))
+
+    gw_s = jax.grad(loss(lambda a, b: depthwise_conv3d_shifted(a, b, 1)), argnums=1)(x, w)
+    gw_x = jax.grad(loss(xla_ref), argnums=1)(x, w)
+    # products are bf16 but the accumulation is f32 on both sides: the sums
+    # over ~8k terms agree to product-rounding noise, not sqrt(n)*bf16-eps
+    np.testing.assert_allclose(
+        np.asarray(gw_s, np.float32), np.asarray(gw_x, np.float32), rtol=2e-2, atol=2e-1
+    )

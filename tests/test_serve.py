@@ -60,3 +60,18 @@ def test_serve_from_checkpoint(tmp_path):
         assert set(np.unique(data)).issubset({0.0, 1.0})
         # source affine preserved
         np.testing.assert_allclose(np.diag(seg.affine), [1.0, 2.0, 3.0, 1.0])
+
+    # eval output space: volume stays on the model/eval grid and the affine
+    # is rescaled so physical geometry is preserved
+    out_dir2 = tmp_path / "served_eval"
+    serve_main([
+        "--checkpoint", str(ckpt), "--inputs", inputs[0],
+        "--output-dir", str(out_dir2), "--batch-size", "1",
+        "--size", "12", "12", "12", "--eval-scale", "1.0",
+        "--output-space", "eval",
+    ])
+    seg = load_nifti(out_dir2 / "case0_seg.nii.gz")
+    assert seg.get_fdata().shape == (12, 12, 12)
+    np.testing.assert_allclose(
+        np.diag(seg.affine)[:3], [1.0 * 15 / 12, 2.0 * 14 / 12, 3.0 * 13 / 12]
+    )

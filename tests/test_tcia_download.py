@@ -86,18 +86,33 @@ def test_list_and_download_series(nbia_server, tmp_path):
 
     files = download_series("1.2.3.100", tmp_path, base_url=nbia_server)
     assert sorted(f.name for f in files) == ["a.dcm", "b.dcm"]
-    assert (tmp_path / "1.2.3.100" / "a.dcm").read_bytes() == b"DICM-A"
+    # zip member paths are preserved (fixture zips nest under "<uid>/"), so
+    # same-named files in different subdirectories cannot clobber each other
+    assert (tmp_path / "1.2.3.100" / "1.2.3.100" / "a.dcm").read_bytes() == b"DICM-A"
+    # completion marker written only after full extraction (resume contract)
+    from deep_staple_tpu.tools.tcia_download import _DONE_MARKER
+
+    assert (tmp_path / "1.2.3.100" / _DONE_MARKER).is_file()
 
 
 def test_download_collection_resumes(nbia_server, tmp_path):
+    from deep_staple_tpu.tools.tcia_download import _DONE_MARKER
+
     out = download_collection(tmp_path, collection="X", base_url=nbia_server)
     assert set(out) == set(SERIES)
-    # resume: pre-existing series dirs are not re-fetched (contents untouched)
-    marker = tmp_path / "1.2.3.200" / "c.dcm"
-    marker.write_bytes(b"LOCAL-EDIT")
+    # resume: COMPLETED series (marker present) are not re-fetched
+    sentinel = tmp_path / "1.2.3.200" / "1.2.3.200" / "c.dcm"
+    sentinel.write_bytes(b"LOCAL-EDIT")
     out2 = download_collection(tmp_path, collection="X", base_url=nbia_server)
-    assert marker.read_bytes() == b"LOCAL-EDIT"
+    assert sentinel.read_bytes() == b"LOCAL-EDIT"
     assert set(out2) == set(SERIES)
+    # a PARTIAL series (files but no marker — e.g. killed mid-extract) is
+    # re-fetched in full rather than silently trusted
+    (tmp_path / "1.2.3.200" / _DONE_MARKER).unlink()
+    out3 = download_collection(tmp_path, collection="X", base_url=nbia_server)
+    assert sentinel.read_bytes() == b"DICM-C"
+    assert (tmp_path / "1.2.3.200" / _DONE_MARKER).is_file()
+    assert set(out3) == set(SERIES)
 
 
 def test_download_collection_manifest_subset(nbia_server, tmp_path):
