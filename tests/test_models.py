@@ -193,3 +193,25 @@ def test_depthwise_conv3d_custom_vjp_bf16_grad_w_accumulates_f32():
     np.testing.assert_allclose(
         np.asarray(gw_s, np.float32), np.asarray(gw_x, np.float32), rtol=2e-2, atol=2e-1
     )
+
+
+def test_aspp_conv_head_variant():
+    """MobileNetASPP3D (reference MobileNet_ASPP_3D :160-257): plain conv
+    head on the ASPP output instead of the LR-ASPP low/high fusion —
+    forward shape contract and trainability."""
+    from deep_staple_tpu.models import MobileNetASPP3D
+
+    model = MobileNetASPP3D(num_classes=2, use_checkpointing=False)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 10, 1))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(v, x, train=False)["out"]
+    assert out.shape == (1, 16, 16, 10, 2)
+    # no LR-ASPP head params; the conv head consumes the ASPP output
+    names = " ".join(jax.tree_util.tree_structure(v["params"]).__repr__().split())
+    assert "LRASPPHead3D" not in names and ("ConvHead3D" in names or "head" in names)
+
+    def loss(params):
+        return jnp.sum(model.apply({**v, "params": params}, x, train=False)["out"] ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))
