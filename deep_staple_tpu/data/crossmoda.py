@@ -145,16 +145,22 @@ def get_crossmoda_data_load_closure(
         modified_label_data_3d = OrderedDict()
 
         print(f"Loading CrossMoDa {dom} images and labels...")
-        # Optional native (C++) bulk loader; falls back to the numpy path.
-        from .native_io import try_native_load
+        # Native (C++) threaded batch loader — the whole-dataset ingest is
+        # the hot offline path (SURVEY §3.1); falls back to sequential
+        # Python reads when the library is absent.
+        from .native_io import try_native_load_batch
 
-        for _3d_id, _file in list(label_paths.items()):
-            vol = try_native_load(_file)
+        lbl_items = list(label_paths.items())
+        for (_3d_id, _file), vol in zip(
+            lbl_items, try_native_load_batch([f for _, f in lbl_items])
+        ):
             label_data_3d[_3d_id] = _prep_volume(
                 vol, _size, resample, crop_3d_w_dim_range, is_label=True
             )
-        for _3d_id, _file in list(img_paths.items()):
-            vol = try_native_load(_file)
+        img_items = list(img_paths.items())
+        for (_3d_id, _file), vol in zip(
+            img_items, try_native_load_batch([f for _, f in img_items])
+        ):
             img_data_3d[_3d_id] = _prep_volume(
                 vol, _size, resample, crop_3d_w_dim_range, is_label=False, normalize=normalize
             )

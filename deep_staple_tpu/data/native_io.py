@@ -36,11 +36,54 @@ def _find_lib():
                     ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),  # out buffer
                 ]
                 lib.ds_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+                if hasattr(lib, "ds_load_nifti_batch"):
+                    lib.ds_load_nifti_batch.restype = ctypes.c_int
+                    lib.ds_load_nifti_batch.argtypes = [
+                        ctypes.POINTER(ctypes.c_char_p),
+                        ctypes.c_int,
+                        ctypes.c_int,
+                        ctypes.POINTER(ctypes.c_longlong),
+                        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                        ctypes.POINTER(ctypes.c_int),
+                    ]
                 _LIB = lib
                 break
             except OSError:
                 continue
     return _LIB
+
+
+def try_native_load_batch(paths, n_threads: int | None = None) -> list[np.ndarray]:
+    """Load many 3D NIfTI volumes, decoded in parallel by the C++ runtime
+    (one decompression/convert thread per file up to n_threads). Falls back
+    to sequential loads when the library is absent or lacks the batch entry
+    point. Semantics per volume identical to `try_native_load`."""
+    paths = [str(p) for p in paths]
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "ds_load_nifti_batch"):
+        return [try_native_load(p) for p in paths]
+    n = len(paths)
+    if n == 0:
+        return []
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    arr_t = ctypes.c_char_p * n
+    c_paths = arr_t(*[p.encode() for p in paths])
+    dims = (ctypes.c_longlong * (3 * n))()
+    bufs = (ctypes.POINTER(ctypes.c_float) * n)()
+    rcs = (ctypes.c_int * n)()
+    lib.ds_load_nifti_batch(c_paths, n, int(n_threads), dims, bufs, rcs)
+    out = []
+    for i in range(n):
+        if rcs[i] != 0:
+            out.append(load_nifti(paths[i]).get_fdata())
+            continue
+        d = (dims[3 * i], dims[3 * i + 1], dims[3 * i + 2])
+        cnt = d[0] * d[1] * d[2]
+        arr = np.ctypeslib.as_array(bufs[i], shape=(cnt,)).copy()
+        lib.ds_free(bufs[i])
+        out.append(arr.reshape(d, order="F").astype(np.float64))
+    return out
 
 
 def try_native_load(path) -> np.ndarray:

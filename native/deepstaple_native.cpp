@@ -15,7 +15,9 @@
 
 #include <algorithm>
 #include <cmath>
+#include <atomic>
 #include <cstdint>
+#include <thread>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -224,5 +226,36 @@ int ds_load_nifti_f32(const char* path, long long* out_dims, float** out_data) {
 }
 
 void ds_free(float* ptr) { std::free(ptr); }
+
+// ---------------------------------------------------------------------------
+// Threaded batch loader: N volumes decoded in parallel (the dataset ingest
+// reads hundreds of .nii.gz serially otherwise — SURVEY.md marks it HOT).
+// out_dims: 3*n longs; out_data: n buffers (caller frees each with ds_free);
+// out_rcs: per-file status (same codes as ds_load_nifti_f32). Returns the
+// number of failures.
+// ---------------------------------------------------------------------------
+int ds_load_nifti_batch(const char** paths, int n, int n_threads,
+                        long long* out_dims, float** out_data, int* out_rcs) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      out_rcs[i] = ds_load_nifti_f32(paths[i], out_dims + 3 * i, out_data + i);
+      if (out_rcs[i] != 0) out_data[i] = nullptr;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  int failures = 0;
+  for (int i = 0; i < n; ++i)
+    if (out_rcs[i] != 0) ++failures;
+  return failures;
+}
 
 }  // extern "C"

@@ -121,3 +121,24 @@ def test_np_ops_match_jax_versions(rng):
     np.testing.assert_array_equal(
         pad_to_size_np(x, (12, 11, 7)), np.asarray(pad_to_size(jnp.asarray(x), (12, 11, 7)))
     )
+
+
+def test_native_batch_loader_matches_single(tmp_path, rng):
+    """ds_load_nifti_batch (threaded C++ path) must produce the same arrays
+    as per-file loads, including the Python fallback for a corrupt file."""
+    from deep_staple_tpu.data.native_io import try_native_load_batch
+    from deep_staple_tpu.data.nifti import save_nifti
+
+    paths = []
+    vols = []
+    for i in range(5):
+        v = rng.randn(7 + i, 6, 5).astype(np.float32)
+        p = tmp_path / f"v{i}.nii.gz"
+        save_nifti(p, v)
+        paths.append(p)
+        vols.append(v)
+
+    out = try_native_load_batch(paths, n_threads=3)
+    assert len(out) == 5
+    for got, want in zip(out, vols):
+        np.testing.assert_allclose(got, want.astype(np.float64), rtol=1e-6)
