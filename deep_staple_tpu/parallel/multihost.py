@@ -1,0 +1,54 @@
+"""Per-host input sharding for multi-host (pod) training.
+
+On a multi-host TPU slice each host feeds only the batch rows that land on
+its local devices; the jitted step then assembles the global batch via
+`jax.make_array_from_process_local_data`. The reference has no distributed
+path at all (SURVEY.md §2.7); this is the standard JAX multi-host input
+recipe, kept separate from the single-host `mesh.py` helpers so the driver
+can adopt it without touching the single-process path.
+
+The index math is pure and host-count-agnostic, so it is unit-tested
+directly; the device-side assembly is exercised on a single process (where
+it degenerates to a plain device_put).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def host_shard_indices(global_indices, num_hosts: int, host_id: int) -> np.ndarray:
+    """The contiguous slice of a global batch-index array this host feeds.
+
+    Row blocks are contiguous (not strided) so they match GSPMD's
+    row-major ('data',) layout of the global batch across processes. The
+    global length must divide evenly by num_hosts — the driver already
+    truncates batches to a multiple of the data axis.
+    """
+    global_indices = np.asarray(global_indices)
+    n = len(global_indices)
+    if n % num_hosts:
+        raise ValueError(f"global batch of {n} does not divide over {num_hosts} hosts")
+    per = n // num_hosts
+    return global_indices[host_id * per : (host_id + 1) * per]
+
+
+def local_batch_to_global(local_batch: dict, mesh: Mesh, spatial_axis: bool = False):
+    """Assemble per-host local batch arrays into global sharded jax.Arrays.
+
+    local_batch holds THIS process's rows only; the result is a dict of
+    global arrays sharded over the mesh's ('data',) axis (and optionally the
+    H axis over 'space'), suitable for the same jitted train step as the
+    single-host path.
+    """
+    out = {}
+    for k, v in local_batch.items():
+        v = np.asarray(v)
+        use_space = spatial_axis and v.ndim >= 3
+        spec = P("data", None, "space") if use_space else P("data")
+        sharding = NamedSharding(mesh, spec)
+        out[k] = jax.make_array_from_process_local_data(sharding, v)
+    return out
