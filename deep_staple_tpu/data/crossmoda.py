@@ -150,20 +150,26 @@ def get_crossmoda_data_load_closure(
         # Python reads when the library is absent.
         from .native_io import try_native_load_batch
 
-        lbl_items = list(label_paths.items())
-        for (_3d_id, _file), vol in zip(
-            lbl_items, try_native_load_batch([f for _, f in lbl_items])
-        ):
-            label_data_3d[_3d_id] = _prep_volume(
-                vol, _size, resample, crop_3d_w_dim_range, is_label=True
-            )
-        img_items = list(img_paths.items())
-        for (_3d_id, _file), vol in zip(
-            img_items, try_native_load_batch([f for _, f in img_items])
-        ):
-            img_data_3d[_3d_id] = _prep_volume(
-                vol, _size, resample, crop_3d_w_dim_range, is_label=False, normalize=normalize
-            )
+        # Chunked: only `chunk` full-resolution volumes are in flight at a
+        # time (the decode threads parallelize within a chunk), so peak
+        # memory stays bounded instead of materializing the whole dataset
+        # at raw resolution before _prep_volume shrinks it.
+        chunk = 8
+
+        def _ingest(items, store, is_label):
+            for c0 in range(0, len(items), chunk):
+                part = items[c0 : c0 + chunk]
+                for (_3d_id, _file), vol in zip(
+                    part, try_native_load_batch([f for _, f in part])
+                ):
+                    store[_3d_id] = _prep_volume(
+                        vol, _size, resample, crop_3d_w_dim_range,
+                        is_label=is_label,
+                        **({} if is_label else {"normalize": normalize}),
+                    )
+
+        _ingest(list(label_paths.items()), label_data_3d, True)
+        _ingest(list(img_paths.items()), img_data_3d, False)
 
         for label_id in label_data_3d:
             modified_label_data_3d[label_id] = label_data_3d[label_id]

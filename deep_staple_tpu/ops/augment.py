@@ -155,6 +155,31 @@ def _unnormalize_ac_false(coord, size: int):
     return ((coord + 1.0) * size - 1.0) / 2.0
 
 
+def _warp_corner_coords(vol, grid, pair_x: bool):
+    """Shared warp preamble: unnormalize + clamp the grid, split into corner
+    base indices and fractional weights.
+
+    pair_x=True clamps x0 to W-2 with wx in [0, 1] so the (x0, x0+1) pair
+    never crosses a row (exact border semantics — at x == W-1 the weight
+    moves fully onto the high corner); pair_x=False keeps x0 in [0, W-1]
+    (corners clamp per-tap instead).
+    Returns (x0, y0, z0, wx, wy, wz, out_spatial) with index/weight arrays
+    flattened to (B, P).
+    """
+    B, D, H, W = vol.shape
+    out_spatial = grid.shape[1:-1]
+    P = int(np.prod(out_spatial))
+    x = jnp.clip(_unnormalize_ac_false(grid[..., 0], W), 0, W - 1).reshape(B, P)
+    y = jnp.clip(_unnormalize_ac_false(grid[..., 1], H), 0, H - 1).reshape(B, P)
+    z = jnp.clip(_unnormalize_ac_false(grid[..., 2], D), 0, D - 1).reshape(B, P)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    if pair_x:
+        x0 = jnp.minimum(x0, max(W - 2, 0))
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    return x0, y0, z0, x - x0, y - y0, z - z0, out_spatial
+
+
 def _warp_trilinear_border(vol, grid):
     """Exact trilinear warp, padding_mode='border', align_corners=False.
 
@@ -167,19 +192,7 @@ def _warp_trilinear_border(vol, grid):
     x0 in [0, W-1] always); gate-tested in tests/test_fast_warp.py.
     """
     B, D, H, W = vol.shape
-    out_spatial = grid.shape[1:-1]
-    P = int(np.prod(out_spatial))
-
-    x = jnp.clip(_unnormalize_ac_false(grid[..., 0], W), 0, W - 1).reshape(B, P)
-    y = jnp.clip(_unnormalize_ac_false(grid[..., 1], H), 0, H - 1).reshape(B, P)
-    z = jnp.clip(_unnormalize_ac_false(grid[..., 2], D), 0, D - 1).reshape(B, P)
-
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    z0 = jnp.floor(z).astype(jnp.int32)
-    wx = x - x0
-    wy = y - y0
-    wz = z - z0
+    x0, y0, z0, wx, wy, wz, out_spatial = _warp_corner_coords(vol, grid, pair_x=False)
 
     # Plain flattened element gathers — the measured optimum. The TPU gather
     # is scalar-unit issue-bound (~145M idx/s probed on v5e, independent of
@@ -226,22 +239,7 @@ def _warp_trilinear_border_bf16pack(vol, grid):
     `_warp_trilinear_border`.
     """
     B, D, H, W = vol.shape
-    out_spatial = grid.shape[1:-1]
-    P = int(np.prod(out_spatial))
-
-    x = jnp.clip(_unnormalize_ac_false(grid[..., 0], W), 0, W - 1).reshape(B, P)
-    y = jnp.clip(_unnormalize_ac_false(grid[..., 1], H), 0, H - 1).reshape(B, P)
-    z = jnp.clip(_unnormalize_ac_false(grid[..., 2], D), 0, D - 1).reshape(B, P)
-
-    # Clamp x0 to W-2 so the (x0, x0+1) pair never crosses a row; at
-    # x == W-1 the pair weight moves fully onto the high corner (exact
-    # border semantics, same trick as grid_sample's high-edge handling).
-    x0 = jnp.minimum(jnp.floor(x).astype(jnp.int32), max(W - 2, 0))
-    y0 = jnp.floor(y).astype(jnp.int32)
-    z0 = jnp.floor(z).astype(jnp.int32)
-    wx = x - x0
-    wy = y - y0
-    wz = z - z0
+    x0, y0, z0, wx, wy, wz, out_spatial = _warp_corner_coords(vol, grid, pair_x=True)
 
     v16 = jax.lax.bitcast_convert_type(vol.astype(jnp.bfloat16), jnp.uint16)
     nxt = jnp.concatenate([v16[..., 1:], v16[..., -1:]], axis=-1)
@@ -367,6 +365,8 @@ def augment_sample_pair(
     The two label warps share one nearest-neighbor gather (labels packed into
     one volume) — a quarter of the index traffic of two separate warps.
     """
+    if order not in ("reference", "reference-bf16", "fast", "fast-bf16"):
+        raise ValueError(f"unknown augment order {order!r}")
     k_noise, k_spatial = jax.random.split(key)
     b_image = augment_noise(k_noise, b_image, params.noise_strength)
 

@@ -56,8 +56,8 @@ def load_serving_state(checkpoint_dir, size=(128, 128, 128)):
     raw = serialization.msgpack_restore((checkpoint_dir / "state.msgpack").read_bytes())
     dataset_len = int(np.asarray(raw["dp_params"]).reshape(-1).shape[0])
 
-    model, num_classes = make_model(config, num_classes=2)
-    in_ch = 12 if config.use_mind else 1
+    num_classes = 2
+    model, in_ch = make_model(config, num_classes=num_classes)
     spatial = list(size)
     if config.crop_3d_w_dim_range:
         spatial[-1] = config.crop_3d_w_dim_range[1] - config.crop_3d_w_dim_range[0]
@@ -128,21 +128,24 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
             out = resize_nd_np(full, orig_shape, mode="nearest").astype(np.int16)
         else:
             # Eval-grid output: rescale the affine so the header stays
-            # geometrically correct — eval voxel j along axis a maps to
-            # source voxel j * orig_a/(size_a * eval_scale) (+ the W-crop
-            # offset mapped back to source voxels).
+            # geometrically correct. The resample chain uses torch-style
+            # align_corners=False center mapping (np_ops._axis_linear):
+            # eval voxel j along axis a maps to source coordinate
+            # (j + 0.5) * orig_a/(size_a * eval_scale) - 0.5 (+ the W-crop
+            # offset mapped back to source voxels), so both the column
+            # scales AND the half-voxel translation shift are applied.
             out = pred.astype(np.int16)
             affine = np.array(affine, np.float64)
             crop = config.crop_3d_w_dim_range
             scales = [orig_shape[a] / size[a] / eval_scale for a in range(3)]
             new_aff = affine.copy()
+            shift = np.zeros(3)
             for a in range(3):
                 new_aff[:3, a] = affine[:3, a] * scales[a]
+                shift += affine[:3, a] * (0.5 * scales[a] - 0.5)
             if crop:
-                new_aff[:3, 3] = (
-                    affine[:3, 3]
-                    + affine[:3, 2] * (crop[0] * orig_shape[2] / size[2])
-                )
+                shift += affine[:3, 2] * (crop[0] * orig_shape[2] / size[2])
+            new_aff[:3, 3] = affine[:3, 3] + shift
             affine = new_aff
         out_path = output_dir / (path.name.replace(".nii.gz", "").replace(".nii", "") + "_seg.nii.gz")
         save_nifti(out_path, out, affine=affine)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import io
 import json
 import time
+import shutil
 import urllib.parse
 import urllib.request
 import zipfile
@@ -89,14 +90,18 @@ def download_series(series_uid: str, out_dir, base_url: str = NBIA_BASE,
     url = f"{base_url}/getImage?SeriesInstanceUID={urllib.parse.quote(series_uid)}"
     payload = _get(url, retries=retries)
     dest = Path(out_dir) / series_uid
+    if dest.is_dir():
+        shutil.rmtree(dest)  # stale partial extraction must not survive a re-fetch
     dest.mkdir(parents=True, exist_ok=True)
     written = []
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         for name in zf.namelist():
             if name.endswith("/"):
                 continue
-            rel = Path(*(p for p in Path(name).parts if p not in ("..", "", "/")))
-            target = dest / rel
+            parts = [p for p in Path(name).parts if p not in ("..", "", "/", ".")]
+            if not parts:
+                continue
+            target = dest / Path(*parts)
             target.parent.mkdir(parents=True, exist_ok=True)
             target.write_bytes(zf.read(name))
             written.append(target)

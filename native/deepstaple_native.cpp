@@ -200,6 +200,19 @@ int ds_load_nifti_f32(const char* path, long long* out_dims, float** out_data) {
   float scl_slope = rd32f(112), scl_inter = rd32f(116);
 
   size_t off = (size_t)vox_offset;
+  // Validate the payload BEFORE converting: a truncated download or corrupt
+  // header (huge dims/vox_offset) must fail cleanly, not read off the heap.
+  size_t elem = 0;
+  switch (datatype) {
+    case 2: case 256: elem = 1; break;
+    case 4: case 512: elem = 2; break;
+    case 8: case 16: case 768: elem = 4; break;
+    case 64: elem = 8; break;
+    default: return -6;
+  }
+  if (n <= 0 || off < 348 || off > raw.size() ||
+      (size_t)n > (raw.size() - off) / elem)
+    return -7;
   float* data = (float*)std::malloc(sizeof(float) * n);
   if (!data) return -5;
   const unsigned char* src = raw.data() + off;

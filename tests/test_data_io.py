@@ -142,3 +142,26 @@ def test_native_batch_loader_matches_single(tmp_path, rng):
     assert len(out) == 5
     for got, want in zip(out, vols):
         np.testing.assert_allclose(got, want.astype(np.float64), rtol=1e-6)
+
+
+def test_native_loader_rejects_truncated_file(tmp_path, rng):
+    """A truncated .nii (intact header, missing voxel payload) must fail
+    cleanly through the native path — the batch wrapper falls back to the
+    Python reader, which raises, instead of reading off the heap."""
+    from deep_staple_tpu.data.native_io import _find_lib
+    from deep_staple_tpu.data.nifti import save_nifti
+
+    if _find_lib() is None:
+        pytest.skip("native lib not built")
+    p = tmp_path / "t.nii"
+    save_nifti(p, rng.randn(8, 7, 6).astype(np.float32))
+    data = p.read_bytes()
+    p.write_bytes(data[: 352 + 40])  # keep header, drop most of the payload
+
+    import ctypes
+
+    lib = _find_lib()
+    dims = (ctypes.c_longlong * 3)()
+    buf = ctypes.POINTER(ctypes.c_float)()
+    rc = lib.ds_load_nifti_f32(str(p).encode(), dims, ctypes.byref(buf))
+    assert rc != 0  # clean error, no OOB read

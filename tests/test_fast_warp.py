@@ -128,3 +128,15 @@ def test_reference_bf16_order_matches_reference_closely(rng):
     np.testing.assert_allclose(np.asarray(rb16[0]), np.asarray(ref[0]), rtol=0, atol=3e-2)
     np.testing.assert_array_equal(np.asarray(rb16[1]), np.asarray(ref[1]))
     np.testing.assert_array_equal(np.asarray(rb16[2]), np.asarray(ref[2]))
+
+
+def test_unknown_augment_order_raises(rng):
+    from deep_staple_tpu.ops.augment import AugmentParams, augment_sample_pair
+
+    img = jnp.asarray(rng.randn(1, 8, 8, 6).astype(np.float32))
+    lbl = jnp.zeros((1, 8, 8, 6), jnp.int32)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown augment order"):
+        augment_sample_pair(jax.random.PRNGKey(0), img, lbl, lbl,
+                            AugmentParams(), 1.5, order="fast_bf16")
