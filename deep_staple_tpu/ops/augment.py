@@ -155,14 +155,15 @@ def _unnormalize_ac_false(coord, size: int):
     return ((coord + 1.0) * size - 1.0) / 2.0
 
 
-def _warp_corner_coords(vol, grid, pair_x: bool):
+def _warp_corner_coords(vol, grid, pair_x: bool, pair_y: bool = False):
     """Shared warp preamble: unnormalize + clamp the grid, split into corner
     base indices and fractional weights.
 
     pair_x=True clamps x0 to W-2 with wx in [0, 1] so the (x0, x0+1) pair
     never crosses a row (exact border semantics — at x == W-1 the weight
     moves fully onto the high corner); pair_x=False keeps x0 in [0, W-1]
-    (corners clamp per-tap instead).
+    (corners clamp per-tap instead). pair_y does the same for y0/H (used by
+    the quad-packed warp whose gather word spans a 2x2 (x, y) footprint).
     Returns (x0, y0, z0, wx, wy, wz, out_spatial) with index/weight arrays
     flattened to (B, P).
     """
@@ -176,6 +177,8 @@ def _warp_corner_coords(vol, grid, pair_x: bool):
     if pair_x:
         x0 = jnp.minimum(x0, max(W - 2, 0))
     y0 = jnp.floor(y).astype(jnp.int32)
+    if pair_y:
+        y0 = jnp.minimum(y0, max(H - 2, 0))
     z0 = jnp.floor(z).astype(jnp.int32)
     return x0, y0, z0, x - x0, y - y0, z - z0, out_spatial
 
@@ -262,6 +265,53 @@ def _warp_trilinear_border_bf16pack(vol, grid):
             v = v0 * (1 - wx) + v1 * wx
             out = out + v * ((wy if dy else 1 - wy) * (wz if dz else 1 - wz))
     return out.reshape((B,) + out_spatial)
+
+
+def _warp_trilinear_border_int8pack(vol, grid):
+    """Trilinear warp with the full 2x2 in-plane corner quad packed as four
+    int8 quanta in one 32-bit gather word: 2 gathers (z0, z1) instead of 8.
+
+    The TPU gather is per-index issue-bound (~145M idx/s regardless of word
+    width up to 32 bits — benchmarks/probe_gather.py), so quartering the
+    image index count quarters the dominant warp cost. Values quantize to
+    int8 on a per-sample absmax scale: quantization step = absmax/127, i.e.
+    ~1% of a z-normalized MRI's range — several times below the augmentation
+    pipeline's own additive Gaussian noise (strength 0.05 of unit variance,
+    `torch_utils.py:94-95`), and dithered by that noise since packing happens
+    after noise injection. Used by augment orders '{fast,reference}-int8';
+    exact-f32 and bf16 paths remain available.
+    """
+    B, D, H, W = vol.shape
+    x0, y0, z0, wx, wy, wz, out_spatial = _warp_corner_coords(
+        vol, grid, pair_x=True, pair_y=True
+    )
+
+    scale = jnp.max(jnp.abs(vol.reshape(B, -1)), axis=1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(vol.reshape(B, -1) / scale), -127, 127).reshape(vol.shape)
+    q = q.astype(jnp.int32) & 0xFF
+    # Neighbor shifts with edge replication (border padding semantics).
+    qx = jnp.concatenate([q[..., 1:], q[..., -1:]], axis=-1)  # (x+1)
+    qy = jnp.concatenate([q[:, :, 1:], q[:, :, -1:]], axis=2)  # (y+1)
+    qxy = jnp.concatenate([qx[:, :, 1:], qx[:, :, -1:]], axis=2)  # (x+1, y+1)
+    packed = (q | (qx << 8) | (qy << 16) | (qxy << 24)).astype(jnp.uint32)
+    pf = packed.reshape(B, D * H * W)
+
+    def unpack(word, shift):
+        b = (word >> shift).astype(jnp.uint8)
+        return jax.lax.bitcast_convert_type(b, jnp.int8).astype(jnp.float32)
+
+    out = 0.0
+    for dz in (0, 1):
+        lin = (jnp.minimum(z0 + dz, D - 1) * H + y0) * W + x0
+        word = jnp.take_along_axis(pf, lin, axis=1)
+        v00 = unpack(word, 0)
+        v10 = unpack(word, 8)
+        v01 = unpack(word, 16)
+        v11 = unpack(word, 24)
+        v = (1 - wy) * ((1 - wx) * v00 + wx * v10) + wy * ((1 - wx) * v01 + wx * v11)
+        out = out + v * (wz if dz else 1 - wz)
+    return (out * scale).reshape((B,) + out_spatial)
 
 
 def _warp_nearest_zeros(vol, grid):
@@ -361,25 +411,34 @@ def augment_sample_pair(
         at the upscaled resolution) with the bf16-pair-packed image warp:
         halves the dominant high-res gather cost while keeping the exact
         reference interpolation order; labels exact.
+      'fast-int8' / 'reference-int8' — same orders with the int8 quad-packed
+        image warp (2 gathers instead of 8: the whole 2x2 in-plane corner
+        footprint rides one 32-bit word; ~1%-of-absmax quantization, several
+        times below the pipeline's own additive noise). Labels exact.
 
     The two label warps share one nearest-neighbor gather (labels packed into
     one volume) — a quarter of the index traffic of two separate warps.
     """
-    if order not in ("reference", "reference-bf16", "fast", "fast-bf16"):
+    orders = (
+        "reference", "reference-bf16", "reference-int8", "fast", "fast-bf16", "fast-int8"
+    )
+    if order not in orders:
         raise ValueError(f"unknown augment order {order!r}")
     k_noise, k_spatial = jax.random.split(key)
     b_image = augment_noise(k_noise, b_image, params.noise_strength)
 
-    if order in ("fast", "fast-bf16") and not use_2d:
+    if order in ("fast", "fast-bf16", "fast-int8") and not use_2d:
         base_spatial = b_image.shape[1:]
         out_spatial = tuple(int(s * pre_interpolation_factor) for s in base_spatial)
         grid = make_augment_grid(
             k_spatial, b_image.shape[0], base_spatial, params, use_2d=False,
             strength_spatial=out_spatial,
         )
-        warp_img = (
-            _warp_trilinear_border_bf16pack if order == "fast-bf16" else _warp_trilinear_border
-        )
+        warp_img = {
+            "fast": _warp_trilinear_border,
+            "fast-bf16": _warp_trilinear_border_bf16pack,
+            "fast-int8": _warp_trilinear_border_int8pack,
+        }[order]
         img = warp_img(b_image.astype(jnp.float32), grid)
         packed = (b_label + 256 * b_modified_label).astype(jnp.float32)
         warped = _warp_nearest_zeros(packed, grid)
@@ -403,10 +462,11 @@ def augment_sample_pair(
         b_label = warped[:, 0].astype(jnp.int32)
         b_modified_label = warped[:, 1].astype(jnp.int32)
     else:
-        warp_img = (
-            _warp_trilinear_border_bf16pack if order == "reference-bf16"
-            else _warp_trilinear_border
-        )
+        warp_img = {
+            "reference": _warp_trilinear_border,
+            "reference-bf16": _warp_trilinear_border_bf16pack,
+            "reference-int8": _warp_trilinear_border_int8pack,
+        }[order]
         b_image = warp_img(b_image.astype(jnp.float32), grid)
         # One element-gather for BOTH labels: pack as label + 256*modified
         # (class ids < 256), warp nearest/zeros, unpack. Halves index traffic

@@ -130,6 +130,54 @@ def test_reference_bf16_order_matches_reference_closely(rng):
     np.testing.assert_array_equal(np.asarray(rb16[2]), np.asarray(ref[2]))
 
 
+def test_warp_trilinear_int8pack_close_to_exact(rng):
+    """The int8 quad-packed warp (2 gathers) must stay within half a
+    quantization step (absmax/254) of the exact 8-gather warp."""
+    from deep_staple_tpu.ops.augment import _warp_trilinear_border_int8pack
+
+    B, D, H, W = 2, 14, 13, 9
+    vol = jnp.asarray(rng.randn(B, D, H, W).astype(np.float32))
+    grid = _random_grid(rng, B, (10, 11, 7))
+    exact = np.asarray(_warp_trilinear_border(vol, grid))
+    packed = np.asarray(_warp_trilinear_border_int8pack(vol, grid))
+    absmax = np.abs(np.asarray(vol)).max(axis=(1, 2, 3))
+    for b in range(B):
+        # trilinear blend of per-corner errors each <= absmax/254 (+eps)
+        assert np.abs(packed[b] - exact[b]).max() <= absmax[b] / 254 * 1.01
+
+
+def test_warp_int8pack_edge_exact_coordinates():
+    # x and y exactly on the last voxel: quad-shift path must return the
+    # border value (weight fully on the high corners).
+    from deep_staple_tpu.ops.augment import _warp_trilinear_border_int8pack
+
+    B, D, H, W = 1, 4, 4, 4
+    vol = jnp.arange(B * D * H * W, dtype=jnp.float32).reshape(B, D, H, W)
+    cx = (2 * (W - 1) + 1) / W - 1
+    cy = (2 * (H - 1) + 1) / H - 1
+    grid = jnp.zeros((B, 2, 2, 2, 3), jnp.float32).at[..., 0].set(cx).at[..., 1].set(cy)
+    want = np.asarray(
+        grid_sample_3d(vol[:, None], grid, mode="bilinear", padding_mode="border", align_corners=False)
+    )[:, 0]
+    got = np.asarray(_warp_trilinear_border_int8pack(vol, grid))
+    np.testing.assert_allclose(got, want, rtol=0, atol=float(np.abs(vol).max()) / 254 * 1.01)
+
+
+def test_int8_orders_run_and_labels_exact(rng):
+    from deep_staple_tpu.ops.augment import AugmentParams, augment_sample_pair
+
+    img = jnp.asarray(rng.randn(2, 12, 12, 8).astype(np.float32))
+    lbl = jnp.asarray((rng.rand(2, 12, 12, 8) > 0.8).astype(np.int32))
+    key = jax.random.PRNGKey(11)
+    for base, packed in (("fast", "fast-int8"), ("reference", "reference-int8")):
+        a = augment_sample_pair(key, img, lbl, lbl, AugmentParams(), 1.5, order=base)
+        b = augment_sample_pair(key, img, lbl, lbl, AugmentParams(), 1.5, order=packed)
+        # same PRNG stream -> same warp; image differs only by int8 quantization
+        np.testing.assert_allclose(np.asarray(b[0]), np.asarray(a[0]), rtol=0, atol=6e-2)
+        np.testing.assert_array_equal(np.asarray(b[1]), np.asarray(a[1]))
+        np.testing.assert_array_equal(np.asarray(b[2]), np.asarray(a[2]))
+
+
 def test_unknown_augment_order_raises(rng):
     from deep_staple_tpu.ops.augment import AugmentParams, augment_sample_pair
 
