@@ -25,7 +25,7 @@ binding available, no network); where ITK differs in stopping behavior the
 fixed-point itself is identical — both iterate the same eq. 13-16 map — so
 disagreement is bounded by the convergence tolerance. Validation used
 instead: (a) an independently written C++ implementation
-(native/deepstaple_staple.cpp) cross-checked bit-for-bit on random stacks,
+(native/deepstaple_native.cpp) cross-checked bit-for-bit on random stacks,
 (b) property tests (unanimous-rater convergence, truth recovery with
 corrupted raters ranked by sensitivity) in tests/test_consensus.py.
 """

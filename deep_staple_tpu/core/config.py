@@ -130,9 +130,16 @@ class TrainConfig:
     mesh_space_axis: int = 1  # spatial (volume H) shards for whole-volume work
     # Note: under GSPMD jit, BatchNorm batch statistics are computed over the
     # GLOBAL batch automatically (a mean over the sharded batch axis), i.e.
-    # sync-BN is the default behavior — stronger than the reference's
-    # per-device BN. Reserved for future explicit shard_map paths.
-    sync_batchnorm: bool = False
+    # sync-BN is inherent — stronger than the reference's per-device BN.
+    # There is deliberately no sync_batchnorm flag: it would be a no-op.
+    #
+    # Multi-host (pod slice) launch: set dist_num_processes > 1 and launch one
+    # process per host; main() calls jax.distributed.initialize() before any
+    # device use, the mesh then spans the pod, and each host feeds only its
+    # own batch rows (parallel/multihost.py). Only process 0 writes artifacts.
+    dist_num_processes: Optional[int] = None
+    dist_coordinator: Optional[str] = None  # "host0-addr:port"; None = auto (TPU metadata)
+    dist_process_id: Optional[int] = None  # None = auto
     seed: int = 0
     output_dir: str = "data/output"
     log_jsonl: bool = True

@@ -104,6 +104,31 @@ def wandb_sweep_run(config: TrainConfig, wandb=None):
     return sweep_id
 
 
+def maybe_init_distributed(config: TrainConfig):
+    """Join the multi-host job when configured (no-op otherwise).
+
+    Must run before any JAX backend/device use in this process. The reference
+    is strictly single-GPU (SURVEY.md §2.7); this is the standard JAX pod
+    launch: every host runs the same command, process 0's address as the
+    coordinator (all three fields are auto-discovered on Cloud TPU pods, so
+    `--dist-num-processes N` alone suffices there).
+    """
+    if not config.dist_num_processes or config.dist_num_processes <= 1:
+        return False
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=config.dist_coordinator,
+        num_processes=config.dist_num_processes,
+        process_id=config.dist_process_id,
+    )
+    print(
+        f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+        f"{len(jax.local_devices())} local of {len(jax.devices())} devices"
+    )
+    return True
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="DeepSTAPLE-TPU training")
     parser.add_argument(
@@ -133,6 +158,7 @@ def main(argv=None):
             if k not in explicit:
                 overrides[k] = v
     config = TrainConfig.from_dict(overrides)
+    maybe_init_distributed(config)
     if config.do_sweep:
         if config.wandb_mode != "disabled":
             return wandb_sweep_run(config)

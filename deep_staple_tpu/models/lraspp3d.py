@@ -82,6 +82,30 @@ class _DepthwiseConv3D(nn.Module):
         return depthwise_conv3d_shifted(x, k.astype(self.dtype or x.dtype), self.stride)
 
 
+class _PointwiseConv3D(nn.Module):
+    """Param-compatible replacement for 1x1x1 stride-1 nn.Conv (same module
+    name 'Conv_0', same kernel shape (1,1,1,Cin,F)) computing the conv as an
+    explicit dot, which lowers to the matmul emitter instead of the conv
+    emitter. Probed on v5e (benchmarks/probe_matmul_conv.py): forwards are a
+    wash (~3ms either way at the lom hot shapes) but the matmul transpose is
+    consistently cheaper (e.g. 144->24 grad 5.3 -> 4.4 ms, 16->96 grad
+    4.0 -> 3.0 ms) — the win is in the backward across ~20 pointwise convs."""
+
+    features: int
+    kernel_init: nn.initializers.Initializer
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.param("kernel", self.kernel_init, (1, 1, 1, cin, self.features), jnp.float32)
+        w = k.reshape(cin, self.features).astype(self.dtype or x.dtype)
+        return jax.lax.dot_general(
+            x, w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=self.dtype or x.dtype,
+        )
+
+
 class ConvBN(nn.Module):
     """Conv3d (no bias) + BatchNorm + optional activation."""
 
@@ -98,6 +122,9 @@ class ConvBN(nn.Module):
     # shift for stride-1 + xla for stride-2 (stride-2 shifted slices lower to
     # gather temps — the measured pathology of all-"shift": 4.2s vs 2.6s step)
     depthwise_impl: str = "xla"
+    # 1x1x1 stride-1 ungrouped convs as explicit matmuls (True) or via the
+    # XLA conv emitter (False). Equivalence gate-tested in test_models.
+    pointwise_matmul: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -111,6 +138,14 @@ class ConvBN(nn.Module):
                 self.features, self.kernel, self.stride,
                 kernel_init=self.kernel_init, dtype=self.dtype, name="Conv_0",
                 impl="pallas" if self.depthwise_impl == "pallas" else "shift",
+            )(x)
+        elif (
+            self.pointwise_matmul and self.kernel == 1 and self.stride == 1
+            and self.groups == 1
+        ):
+            x = _PointwiseConv3D(
+                self.features, kernel_init=self.kernel_init, dtype=self.dtype,
+                name="Conv_0",
             )(x)
         else:
             x = nn.Conv(

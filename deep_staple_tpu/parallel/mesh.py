@@ -8,7 +8,7 @@ axis and the jitted train step runs unchanged — XLA inserts the collectives
 
 Axes:
   data  — data parallelism (batch axis).
-  space — spatial sharding of the volume W axis for whole-volume work
+  space — spatial sharding of the volume H axis (dim 2 of B,D,H,W) for whole-volume work
           (halo-exchanged convs; see parallel/spatial.py).
 """
 

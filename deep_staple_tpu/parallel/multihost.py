@@ -36,6 +36,20 @@ def host_shard_indices(global_indices, num_hosts: int, host_id: int) -> np.ndarr
     return global_indices[host_id * per : (host_id + 1) * per]
 
 
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Fully replicate host arrays onto every mesh device, multi-host safe.
+
+    `jax.device_put` cannot target non-addressable devices; on a pod every
+    process passes the SAME full array here and
+    `make_array_from_process_local_data` assembles the replicated global
+    jax.Array. Single-process it degenerates to a plain device_put.
+    """
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda v: jax.make_array_from_process_local_data(sharding, np.asarray(v)), tree
+    )
+
+
 def local_batch_to_global(local_batch: dict, mesh: Mesh, spatial_axis: bool = False):
     """Assemble per-host local batch arrays into global sharded jax.Arrays.
 

@@ -136,8 +136,19 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
     """Returns a dict with final state, metrics history, and snapshot path."""
     reset_determinism(config.seed)
     atlas_count = atlas_count if atlas_count is not None else config.atlas_count
+    # Multi-host: every process runs the full loop (collectives must be
+    # entered by all), but only process 0 writes artifacts (metrics JSONL,
+    # checkpoints, snapshots, figures).
+    nproc, is_main = jax.process_count(), jax.process_index() == 0
+    if nproc > 1 and config.mesh_data_axis % nproc:
+        raise ValueError(
+            f"mesh_data_axis={config.mesh_data_axis} must divide over "
+            f"{nproc} processes (equal batch rows per host)"
+        )
     writer = writer or MetricWriter(
-        jsonl_path=str(Path(config.output_dir) / f"{run_name}_metrics.jsonl") if config.log_jsonl else None,
+        jsonl_path=str(Path(config.output_dir) / f"{run_name}_metrics.jsonl")
+        if (config.log_jsonl and is_main)
+        else None,
     )
 
     use_dp = config.data_param_mode == DataParamMode.INSTANCE_PARAMS
@@ -230,9 +241,15 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
         mesh = None
         if config.mesh_data_axis > 1 or config.mesh_space_axis > 1:
             from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+            from ..parallel.multihost import (
+                host_shard_indices, local_batch_to_global, replicate_to_mesh,
+            )
 
             mesh = make_mesh(data=config.mesh_data_axis, space=config.mesh_space_axis)
-            print(f"Device mesh: data={config.mesh_data_axis} space={config.mesh_space_axis}")
+            print(
+                f"Device mesh: data={config.mesh_data_axis} space={config.mesh_space_axis}"
+                + (f" over {nproc} hosts" if nproc > 1 else "")
+            )
 
         epx_start = config.checkpoint_epx or 0
         ckpt_name = config.checkpoint_name or run_name
@@ -288,10 +305,19 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                     if usable == 0:
                         continue  # remainder smaller than the data axis
                     bidx = bidx[:usable]
-                host_batch = dataset.sample_batch(bidx)
-                if mesh is not None:
+                if mesh is not None and nproc > 1:
+                    # Each host loads + feeds only its own contiguous row block;
+                    # the global sharded batch is assembled across processes.
+                    local_bidx = host_shard_indices(bidx, nproc, jax.process_index())
+                    host_batch = dataset.sample_batch(local_bidx)
+                    batch = local_batch_to_global(
+                        host_batch, mesh, spatial_axis=config.mesh_space_axis > 1
+                    )
+                elif mesh is not None:
+                    host_batch = dataset.sample_batch(bidx)
                     batch = shard_batch(host_batch, mesh, spatial_axis=config.mesh_space_axis > 1)
                 else:
+                    host_batch = dataset.sample_batch(bidx)
                     batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
 
                 lr = (
@@ -314,7 +340,7 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
 
                 # DP scatter figures every 10 batches (reference :797-806)
                 batch_no = bstart // config.batch_size
-                if use_dp and config.save_dp_figures and batch_no % 10 == 0:
+                if use_dp and config.save_dp_figures and is_main and batch_no % 10 == 0:
                     from ..utils.visualization import save_parameter_figure
 
                     train_params = np.asarray(state.dp_params)[train_idxs]
@@ -370,7 +396,7 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                     np.asarray(state.dp_params),
                 )
 
-            if (epx % config.save_every == 0) or (epx + 1 == config.epochs):
+            if is_main and ((epx % config.save_every == 0) or (epx + 1 == config.epochs)):
                 _path = Path(config.mdl_save_prefix) / f"{run_name}_fold{fold_idx}_epx{epx}"
                 save_checkpoint(_path, state, config)
 
@@ -381,10 +407,10 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                 hb = dataset.sample_batch([val_idx], use_modified=False)
                 val_batch = {"image": jnp.asarray(hb["image"]), "label": jnp.asarray(hb["label"])}
                 if mesh is not None:
-                    # single volume: replicate (batch 1 can't split over 'data')
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    val_batch = jax.device_put(val_batch, NamedSharding(mesh, PartitionSpec()))
+                    # single volume: replicate (batch 1 can't split over
+                    # 'data'); multi-host safe — every process passes the
+                    # same full array.
+                    val_batch = replicate_to_mesh(val_batch, mesh)
                 _, b_dice = eval_step(state, val_batch)
                 b_dice = np.asarray(b_dice)
                 val_dices.append(batch_dice_over_all(b_dice, exclude_bg=True))
@@ -397,9 +423,10 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             if config.debug:
                 break
 
-        # --- snapshot export (reference :963-1045) ---
+        # --- snapshot export (reference :963-1045; process 0 only — the
+        # inference inside runs on local devices, no collectives) ---
         snapshot_path = None
-        if use_dp:
+        if use_dp and is_main:
             snapshot_path = (
                 Path(config.output_dir) / f"{run_name}_fold{fold_idx}_epx{epx}" / "train_label_snapshot.npz"
             )

@@ -215,3 +215,34 @@ def test_aspp_conv_head_variant():
 
     g = jax.grad(loss)(v["params"])
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))
+
+
+def test_pointwise_matmul_matches_conv():
+    """The explicit-dot pointwise conv (_PointwiseConv3D) must be a drop-in
+    for the XLA conv emitter: identical param tree, outputs, and grads across
+    the full model (it replaces every 1x1x1 stride-1 ungrouped conv)."""
+    from deep_staple_tpu.models import lraspp3d
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 10, 8, 1))
+    m = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False, dropout_rate=0.0)
+    assert lraspp3d.ConvBN.pointwise_matmul  # matmul is the production default
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    try:
+        lraspp3d.ConvBN.pointwise_matmul = False
+        v_conv = m.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+        # same param tree (shapes + names), so checkpoints are interchangeable
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_conv)
+        for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v_conv)):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+        def loss(variables):
+            return jnp.sum(m.apply(variables, x, train=False)["out"] ** 2)
+
+        l_conv, g_conv = jax.value_and_grad(loss)(v)
+    finally:
+        lraspp3d.ConvBN.pointwise_matmul = True
+    l_mm, g_mm = jax.value_and_grad(loss)(v)
+    np.testing.assert_allclose(float(l_mm), float(l_conv), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_mm), jax.tree.leaves(g_conv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -222,3 +222,54 @@ def test_multihost_input_sharding_math_and_assembly():
     for k in batch:
         np.testing.assert_array_equal(np.asarray(global_arrays[k]), np.asarray(ref[k]))
         assert global_arrays[k].sharding.spec == ref[k].sharding.spec
+
+
+def test_replicate_to_mesh_matches_device_put():
+    """replicate_to_mesh (the multi-host-safe replacement for device_put with
+    an empty PartitionSpec, used for val batches) must produce fully
+    replicated arrays with identical contents."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deep_staple_tpu.parallel.mesh import make_mesh
+    from deep_staple_tpu.parallel.multihost import replicate_to_mesh
+
+    mesh = make_mesh(data=4, space=2)
+    tree = {"image": np.arange(24, dtype=np.float32).reshape(2, 3, 4)}
+    out = replicate_to_mesh(tree, mesh)
+    ref = jax.device_put(tree["image"], NamedSharding(mesh, P()))
+    np.testing.assert_array_equal(np.asarray(out["image"]), np.asarray(ref))
+    assert out["image"].sharding.is_fully_replicated
+
+
+def test_maybe_init_distributed_wiring(monkeypatch):
+    """main.maybe_init_distributed must call jax.distributed.initialize with
+    the configured coordinator/count/id BEFORE any device use, and be a no-op
+    when unconfigured (the single-host default)."""
+    from deep_staple_tpu.core.config import TrainConfig
+    from deep_staple_tpu.main import maybe_init_distributed
+
+    calls = []
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        calls.append((coordinator_address, num_processes, process_id))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    assert maybe_init_distributed(TrainConfig()) is False
+    assert maybe_init_distributed(TrainConfig(dist_num_processes=1)) is False
+    assert calls == []
+    assert maybe_init_distributed(
+        TrainConfig(dist_num_processes=4, dist_coordinator="h0:8476", dist_process_id=2)
+    ) is True
+    assert calls == [("h0:8476", 4, 2)]
+
+
+def test_train_dl_rejects_indivisible_multihost_mesh(monkeypatch):
+    """With N processes, mesh_data_axis must divide over the hosts; the driver
+    raises up front instead of failing inside host_shard_indices mid-epoch."""
+    from deep_staple_tpu.train import driver as driver_mod
+
+    monkeypatch.setattr(driver_mod.jax, "process_count", lambda: 3)
+    with pytest.raises(ValueError, match="divide over 3 processes"):
+        driver_mod.train_dl(
+            "mh-reject", TrainConfig(mesh_data_axis=8, epochs=1), dataset=None
+        )
