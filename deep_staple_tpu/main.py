@@ -135,7 +135,7 @@ def main(argv=None):
         "--preset", choices=("reference", "production"), default="reference",
         help="'reference' = reference-exact semantics (fp32, strict OOL, "
         "reference augment order, remat); 'production' = the recommended "
-        "TPU operating point (fused OOL, fast-bf16 augment order, bfloat16, "
+        "TPU operating point (fused OOL, fast-int8 augment order, bfloat16, "
         "no remat — see TrainConfig.tpu_production). Explicit flags override "
         "the preset either way.",
     )

@@ -31,6 +31,13 @@ reversed (conv with the flipped kernel); grad_w is a second kernel
 accumulating the 27 (x * g) tap reductions into a (27, C) f32 block kept
 VMEM-resident across all (b, z-tile) steps of a channel tile.
 
+Round-3 probe (benchmarks/probe_gw.py) closed the remaining question: XLA's
+autodiff grad_w is ALSO near its floor (12.4 ms/op at 8x96x96x38x144 bf16 vs
+a ~2.7 ms HBM bound), but neither the 27-tap XLA multiply-reduce form
+(41.6 ms) nor this gw kernel (VPU-bound like the forward) beats it — the
+whole depthwise stage (fwd 15.6 + grad_x 10.6 + grad_w 12.4) stays on XLA's
+grouped conv, and the Pallas depthwise direction is a recorded dead end.
+
 Numerics: taps accumulate in f32; bit-exact vs the XLA grouped conv at
 bench shapes (measured max|diff| = 0.0); gated in tests/test_models.py.
 """
@@ -185,6 +192,17 @@ def _dw_pallas_gw_impl(x, g):
     ct = min(C, 128)
     n_ct = -(-C // ct)
     TZ = _pick_tz(D)
+    # Scoped-VMEM guard: the f32 slab (TZ+2, H+2, W+2, ct) + f32 cotangent
+    # block + double-buffered bf16 input blocks must fit the 100MB limit
+    # (measured overflow at TZ=8, 96x38x128: 100.28M — benchmarks/probe_gw.py).
+    def _vmem_est(tz):
+        slab = (tz + 2) * (H + 2) * (W + 2) * ct * 4
+        gblk = tz * H * W * ct * 4
+        bufs = 2 * (tz + 2 + tz) * H * W * ct * x.dtype.itemsize  # 2x: double-buffered
+        return slab + gblk + bufs
+
+    while TZ > 1 and _vmem_est(TZ) > 80 * 1024 * 1024:
+        TZ = max(t for t in range(1, TZ) if D % t == 0)
     xf = x.reshape(B * D, H, W, C)
     gf = g.reshape(B * D, H, W, C)
 
