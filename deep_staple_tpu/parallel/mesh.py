@@ -48,5 +48,13 @@ def shard_batch(batch: dict, mesh: Mesh, spatial_axis: bool = False) -> dict:
 
 
 def replicate_state(state, mesh: Mesh):
-    sh = NamedSharding(mesh, P())
-    return jax.device_put(state, sh)
+    """Replicate the train state onto every mesh device.
+
+    Multi-host safe: `jax.device_put` cannot target non-addressable devices,
+    so on a pod every process contributes its (identical, seed-deterministic)
+    local state and the replicated global jax.Arrays are assembled with
+    `make_array_from_process_local_data` (single-process this degenerates to
+    a plain device_put)."""
+    from .multihost import replicate_to_mesh
+
+    return replicate_to_mesh(state, mesh)

@@ -290,6 +290,19 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             pending_metrics = None
 
             def _consume(metrics_dev):
+                # Multi-host: per-row metrics (the (B, C) dice) stay sharded
+                # over 'data', so each host only holds its own rows —
+                # allgather them so epoch means cover the GLOBAL batch
+                # (scalars are already fully replicated and pass through).
+                if nproc > 1:
+                    from jax.experimental import multihost_utils
+
+                    metrics_dev = jax.tree.map(
+                        lambda a: a
+                        if a.sharding.is_fully_replicated
+                        else multihost_utils.process_allgather(a, tiled=True),
+                        metrics_dev,
+                    )
                 metrics = jax.tree.map(np.asarray, metrics_dev)
                 epx_losses.append(float(metrics["loss"]))
                 b_dice = metrics["dice"]

@@ -35,11 +35,19 @@ def export_train_label_snapshot(
 ):
     use_2d = dataset.use_2d()
 
+    # Multi-host safe: the export runs on process 0 only (no collectives), so
+    # mesh-global state must be localized first — a jit closing over arrays
+    # that span non-addressable devices cannot compile. Fully-replicated
+    # arrays convert via np.asarray on every host; this is a no-op copy
+    # single-process (1.2M params).
+    params_local = jax.tree.map(np.asarray, state.params)
+    stats_local = jax.tree.map(np.asarray, state.batch_stats)
+
     @jax.jit
     def _predict(img):
         img2, _ = interpolate_sample(img, None, eval_scale_factor, use_2d)
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, img2[..., None], train=False
+            {"params": params_local, "batch_stats": stats_local}, img2[..., None], train=False
         )["out"]
         return jnp.argmax(out, axis=-1)
 
