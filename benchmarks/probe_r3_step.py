@@ -19,7 +19,11 @@ from deep_staple_tpu.models import lraspp3d
 
 
 def run(label, order, ool="fused", pointwise=True, steps=6):
-    lraspp3d.ConvBN.pointwise_matmul = pointwise
+    # Module-level toggle, consulted at trace time. (The original class-attr
+    # assignment ConvBN.pointwise_matmul = x was a silent no-op — dataclass
+    # __init__ defaults freeze at class creation — so the first A/B measured
+    # the same config twice: 859.1 vs 857.6 ms.)
+    lraspp3d.POINTWISE_MATMUL_DEFAULT = pointwise
     try:
         sec = bench.measure_tpu_train_step(
             steps, "bfloat16", ool_mode=ool, augment_order=order,
@@ -31,10 +35,10 @@ def run(label, order, ool="fused", pointwise=True, steps=6):
 
 
 def main():
-    run("fast-bf16 +pw-matmul", "fast-bf16", pointwise=True)
-    run("fast-bf16 baseline  ", "fast-bf16", pointwise=False)
-    run("fast-int8 +pw-matmul", "fast-int8", pointwise=True)
-    run("strict/ref-int8 +pw ", "reference-int8", ool="strict", pointwise=True)
+    run("fast-int8 pw-conv   ", "fast-int8", pointwise=False)
+    run("fast-int8 pw-matmul ", "fast-int8", pointwise=True)
+    run("fast-bf16 pw-conv   ", "fast-bf16", pointwise=False)
+    run("fast-bf16 pw-matmul ", "fast-bf16", pointwise=True)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,13 @@ MID_CHANNELS = (32, 96, 96, 144, 144, 192, 192, 192, 384, 384)
 OUT_CHANNELS = (16, 16, 24, 24, 32, 32, 32, 64, 64, 64)
 MID_STRIDE = (1, 1, 1, 1, 1, 1, 2, 1, 1, 1)
 
+# Lower 1x1x1 stride-1 ungrouped convs as explicit dot_general (matmul
+# emitter) instead of the XLA conv emitter. Module-level and consulted at
+# TRACE time (a flax dataclass field default is frozen at class creation, so
+# a class-attribute toggle would be a silent no-op — measured the hard way in
+# round 3): probes/tests flip this global and rebuild their jit.
+POINTWISE_MATMUL_DEFAULT = False
+
 kaiming_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 # torch default conv init: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in)).
 torch_default_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
@@ -86,10 +93,17 @@ class _PointwiseConv3D(nn.Module):
     """Param-compatible replacement for 1x1x1 stride-1 nn.Conv (same module
     name 'Conv_0', same kernel shape (1,1,1,Cin,F)) computing the conv as an
     explicit dot, which lowers to the matmul emitter instead of the conv
-    emitter. Probed on v5e (benchmarks/probe_matmul_conv.py): forwards are a
-    wash (~3ms either way at the lom hot shapes) but the matmul transpose is
-    consistently cheaper (e.g. 144->24 grad 5.3 -> 4.4 ms, 16->96 grad
-    4.0 -> 3.0 ms) — the win is in the backward across ~20 pointwise convs."""
+    emitter.
+
+    VERDICT: off by default (POINTWISE_MATMUL_DEFAULT=False). Isolated-op
+    probes (benchmarks/probe_matmul_conv.py) showed cheaper matmul
+    transposes (e.g. 144->24 grad 5.3 -> 4.4 ms), but the honest full-step
+    A/B (benchmarks/probe_r3_step.py, after fixing a vacuous toggle) showed
+    the matmul lowering LOSES ~78 ms/step at every order (fast-int8 686 ->
+    765, fast-bf16 799 -> 877): the dot_generals force layout disagreements
+    with the neighboring convs (profiler shows 13ms bf16[8,96,96,38,144]
+    relayout copies) that outweigh the per-op wins. Kept opt-in as the
+    measurement record."""
 
     features: int
     kernel_init: nn.initializers.Initializer
@@ -123,8 +137,9 @@ class ConvBN(nn.Module):
     # gather temps — the measured pathology of all-"shift": 4.2s vs 2.6s step)
     depthwise_impl: str = "xla"
     # 1x1x1 stride-1 ungrouped convs as explicit matmuls (True) or via the
-    # XLA conv emitter (False). Equivalence gate-tested in test_models.
-    pointwise_matmul: bool = True
+    # XLA conv emitter (False); None = POINTWISE_MATMUL_DEFAULT. Equivalence
+    # gate-tested in test_models.
+    pointwise_matmul: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -140,8 +155,9 @@ class ConvBN(nn.Module):
                 impl="pallas" if self.depthwise_impl == "pallas" else "shift",
             )(x)
         elif (
-            self.pointwise_matmul and self.kernel == 1 and self.stride == 1
-            and self.groups == 1
+            (self.pointwise_matmul if self.pointwise_matmul is not None
+             else POINTWISE_MATMUL_DEFAULT)
+            and self.kernel == 1 and self.stride == 1 and self.groups == 1
         ):
             x = _PointwiseConv3D(
                 self.features, kernel_init=self.kernel_init, dtype=self.dtype,

@@ -75,12 +75,28 @@ def preprocess(volume, config: TrainConfig, size=(128, 128, 128)):
 
 def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
           eval_scale: float = 2.0, output_space: str = "input",
-          size=(128, 128, 128)):
+          size=(128, 128, 128), mesh_data: int = 1):
     size = tuple(size)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     model, config, state, num_classes = load_serving_state(checkpoint_dir, size)
     eval_step = make_eval_step(model, config, num_classes, eval_scale_factor=eval_scale)
+
+    # Multi-chip serving: shard each fixed-size batch over a ('data',) mesh —
+    # the SAME jitted eval forward runs on every chip with its batch rows
+    # (GSPMD inserts nothing model-side: the eval forward has no cross-row
+    # ops except the BN running stats, which are frozen constants here).
+    mesh = None
+    if mesh_data > 1:
+        if batch_size % mesh_data:
+            raise ValueError(
+                f"--batch-size {batch_size} must be divisible by --mesh-data {mesh_data}"
+            )
+        from .parallel.mesh import make_mesh, replicate_state, shard_batch as _shard
+
+        mesh = make_mesh(data=mesh_data, space=1)
+        state = replicate_state(state, mesh)
+        print(f"serving on a data={mesh_data} device mesh")
 
     vols, metas = [], []
     for p in input_paths:
@@ -100,6 +116,8 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
             "image": jnp.asarray(batch_np),
             "label": jnp.zeros(batch_np.shape, jnp.int32),
         }
+        if mesh is not None:
+            batch = _shard(batch, mesh)
         pred, _ = eval_step(state, batch)
         pred_np = np.asarray(pred)[: len(chunk)]  # host transfer = sync
         n_exec += 1
@@ -165,9 +183,11 @@ def main(argv=None):
     ap.add_argument("--output-space", choices=("input", "eval"), default="input")
     ap.add_argument("--size", type=int, nargs=3, default=(128, 128, 128),
                     help="canonical training volume size (L4 default)")
+    ap.add_argument("--mesh-data", type=int, default=1,
+                    help="shard each batch over this many devices (must divide --batch-size)")
     args = ap.parse_args(argv)
     serve(args.checkpoint, args.inputs, args.output_dir, args.batch_size,
-          args.eval_scale, args.output_space, tuple(args.size))
+          args.eval_scale, args.output_space, tuple(args.size), args.mesh_data)
 
 
 if __name__ == "__main__":

@@ -220,29 +220,49 @@ def test_aspp_conv_head_variant():
 def test_pointwise_matmul_matches_conv():
     """The explicit-dot pointwise conv (_PointwiseConv3D) must be a drop-in
     for the XLA conv emitter: identical param tree, outputs, and grads across
-    the full model (it replaces every 1x1x1 stride-1 ungrouped conv)."""
+    the full model (it replaces every 1x1x1 stride-1 ungrouped conv).
+
+    The toggle is the module-level POINTWISE_MATMUL_DEFAULT, consulted at
+    trace time — a ConvBN *class attribute* assignment would be a silent
+    no-op (dataclass __init__ defaults freeze at class creation; the round-3
+    A/B was vacuous until this was caught). The sanity check below proves the
+    toggle actually switches the implementation."""
     from deep_staple_tpu.models import lraspp3d
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 10, 8, 1))
     m = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False, dropout_rate=0.0)
-    assert lraspp3d.ConvBN.pointwise_matmul  # matmul is the production default
-    v = m.init({"params": jax.random.PRNGKey(1)}, x, train=False)
-    try:
-        lraspp3d.ConvBN.pointwise_matmul = False
-        v_conv = m.init({"params": jax.random.PRNGKey(1)}, x, train=False)
-        # same param tree (shapes + names), so checkpoints are interchangeable
-        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_conv)
-        for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v_conv)):
-            assert a.shape == b.shape
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
-        def loss(variables):
-            return jnp.sum(m.apply(variables, x, train=False)["out"] ** 2)
+    def trees_and_loss(enabled):
+        old = lraspp3d.POINTWISE_MATMUL_DEFAULT
+        lraspp3d.POINTWISE_MATMUL_DEFAULT = enabled
+        try:
+            v = m.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+            tab = jax.make_jaxpr(
+                lambda vv: m.apply(vv, x, train=False)["out"]
+            )(v).pretty_print()
 
-        l_conv, g_conv = jax.value_and_grad(loss)(v)
-    finally:
-        lraspp3d.ConvBN.pointwise_matmul = True
-    l_mm, g_mm = jax.value_and_grad(loss)(v)
+            def loss(variables):
+                return jnp.sum(m.apply(variables, x, train=False)["out"] ** 2)
+
+            l, g = jax.value_and_grad(loss)(v)
+            return v, tab, l, g
+        finally:
+            lraspp3d.POINTWISE_MATMUL_DEFAULT = old
+
+    v_mm, jaxpr_mm, l_mm, g_mm = trees_and_loss(True)
+    v_conv, jaxpr_conv, l_conv, g_conv = trees_and_loss(False)
+
+    # The toggle must actually switch the lowering (guards against the
+    # vacuous-A/B failure mode).
+    assert jaxpr_mm.count("conv_general_dilated") < jaxpr_conv.count("conv_general_dilated")
+
+    # Same param tree (shapes + names + values), so checkpoints are
+    # interchangeable between the two lowerings.
+    assert jax.tree_util.tree_structure(v_mm) == jax.tree_util.tree_structure(v_conv)
+    for a, b in zip(jax.tree.leaves(v_mm), jax.tree.leaves(v_conv)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
     np.testing.assert_allclose(float(l_mm), float(l_conv), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g_mm), jax.tree.leaves(g_conv)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

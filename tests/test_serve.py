@@ -61,6 +61,20 @@ def test_serve_from_checkpoint(tmp_path):
         # source affine preserved
         np.testing.assert_allclose(np.diag(seg.affine), [1.0, 2.0, 3.0, 1.0])
 
+    # Multi-chip serving: the same checkpoint served over a data=8 mesh
+    # (virtual devices) must produce byte-identical label maps.
+    out_dir_mesh = tmp_path / "served_mesh"
+    serve_main([
+        "--checkpoint", str(ckpt), "--inputs", *inputs,
+        "--output-dir", str(out_dir_mesh), "--batch-size", "8",
+        "--size", "12", "12", "12", "--eval-scale", "1.0",
+        "--mesh-data", "8",
+    ])
+    for i in range(2):
+        a = load_nifti(out_dir / f"case{i}_seg.nii.gz").get_fdata()
+        b = load_nifti(out_dir_mesh / f"case{i}_seg.nii.gz").get_fdata()
+        np.testing.assert_array_equal(a, b)
+
     # eval output space: volume stays on the model/eval grid and the affine
     # is rescaled so physical geometry is preserved
     out_dir2 = tmp_path / "served_eval"
