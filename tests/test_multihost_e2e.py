@@ -42,6 +42,10 @@ def _clean_env():
     env["PYTHONPATH"] = str(REPO)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    # Share the suite's persistent compile cache (conftest.py) — the CPU
+    # compiles of the small train step dominate this test's wall-clock.
+    env["JAX_COMPILATION_CACHE_DIR"] = str(REPO / ".jax_cache_cpu")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2"
     return env
 
 
