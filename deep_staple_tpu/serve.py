@@ -15,8 +15,13 @@ source affine.
 
 The forward is compiled once per (batch, shape) and inputs are grouped into
 fixed-size batches (last batch padded) so serving N volumes costs one
-compile + ceil(N/B) executions. Throughput is reported from host-transfer
-syncs (block_until_ready is unreliable over the axon tunnel — CLAUDE.md).
+compile + ceil(N/B) executions. The pipeline streams: a loader thread reads +
+preprocesses batch k+1 while the device executes batch k and outputs are
+written as each batch completes, so peak host memory is O(batch), not O(N).
+`--mesh-data N` shards each batch over a ('data',) device mesh (multi-chip
+serving; gate-tested byte-identical on the virtual mesh). Throughput is
+reported from host-transfer syncs (block_until_ready is unreliable over the
+axon tunnel — CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -98,37 +103,61 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
         state = replicate_state(state, mesh)
         print(f"serving on a data={mesh_data} device mesh")
 
-    vols, metas = [], []
-    for p in input_paths:
-        img = load_nifti(p)
-        data = img.get_fdata()
-        vols.append(preprocess(data, config, size))
-        metas.append((Path(p), data.shape, img.affine))
+    # Streaming double-buffered pipeline: a loader thread reads + preprocesses
+    # batch k+1 while the device executes batch k (JAX dispatch is async; the
+    # np.asarray of the prediction is the only sync). Peak host memory is two
+    # batches of preprocessed volumes, independent of the input count.
+    from concurrent.futures import ThreadPoolExecutor
 
-    results = []
+    path_chunks = [
+        input_paths[s : s + batch_size]
+        for s in range(0, len(input_paths), batch_size)
+    ]
+
+    def _load_chunk(paths):
+        vols, metas = [], []
+        for p in paths:
+            img = load_nifti(p)
+            data = img.get_fdata()
+            vols.append(preprocess(data, config, size))
+            metas.append((Path(p), data.shape, img.affine))
+        pad = batch_size - len(vols)
+        return np.stack(vols + [vols[-1]] * pad), metas
+
+    _write_output = _make_output_writer(output_dir, config, size, eval_scale, output_space)
+    out_paths = []
+    served = 0
+    voxels = 0
     t0 = time.time()
     n_exec = 0
-    for start in range(0, len(vols), batch_size):
-        chunk = vols[start : start + batch_size]
-        pad = batch_size - len(chunk)
-        batch_np = np.stack(chunk + [chunk[-1]] * pad)
-        batch = {
-            "image": jnp.asarray(batch_np),
-            "label": jnp.zeros(batch_np.shape, jnp.int32),
-        }
-        if mesh is not None:
-            batch = _shard(batch, mesh)
-        pred, _ = eval_step(state, batch)
-        pred_np = np.asarray(pred)[: len(chunk)]  # host transfer = sync
-        n_exec += 1
-        results.extend(list(pred_np))
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(_load_chunk, path_chunks[0])
+        for i in range(len(path_chunks)):
+            batch_np, chunk_metas = fut.result()
+            if i + 1 < len(path_chunks):
+                fut = ex.submit(_load_chunk, path_chunks[i + 1])
+            batch = {
+                "image": jnp.asarray(batch_np),
+                "label": jnp.zeros(batch_np.shape, jnp.int32),
+            }
+            if mesh is not None:
+                batch = _shard(batch, mesh)
+            pred, _ = eval_step(state, batch)
+            pred_np = np.asarray(pred)[: len(chunk_metas)]  # host transfer = sync
+            n_exec += 1
+            for p, m in zip(pred_np, chunk_metas):
+                served += 1
+                voxels += int(np.prod(p.shape))
+                out_paths.append(_write_output(p, m))
     dt = time.time() - t0
-    voxels = sum(int(np.prod(r.shape)) for r in results)
-    print(f"served {len(results)} volumes in {dt:.2f}s "
-          f"({n_exec} executions, {voxels/max(dt,1e-9)/1e6:.0f} M voxel/s)")
+    print(f"served {served} volumes in {dt:.2f}s "
+          f"({n_exec} executions, {voxels/max(dt,1e-9)/1e6:.0f} M voxel/s incl. writeout)")
+    return out_paths
 
-    out_paths = []
-    for pred, (path, orig_shape, affine) in zip(results, metas):
+
+def _make_output_writer(output_dir, config, size, eval_scale, output_space):
+    def _write_output(pred, meta):
+        path, orig_shape, affine = meta
         if output_space == "input":
             # Invert the prep chain: nearest-resize the eval-scale prediction
             # back onto the ORIGINAL voxel grid. The W-crop region outside
@@ -167,9 +196,10 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
             affine = new_aff
         out_path = output_dir / (path.name.replace(".nii.gz", "").replace(".nii", "") + "_seg.nii.gz")
         save_nifti(out_path, out, affine=affine)
-        out_paths.append(out_path)
         print(f"  {path.name} -> {out_path.name} (fg voxels: {int((out > 0).sum())})")
-    return out_paths
+        return out_path
+
+    return _write_output
 
 
 def main(argv=None):
