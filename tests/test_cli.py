@@ -18,6 +18,10 @@ def _clean_env():
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO  # axon site dropped: CPU-only subprocess
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # Share the suite's persistent compile cache (conftest.py) — subprocess
+    # CPU compiles of the train step dominate these tests' wall-clock.
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache_cpu")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "2"
     return env
 
 
@@ -75,3 +79,38 @@ def test_consensus_cli_consumes_snapshot(cli_run):
     m_ids = [k for k, v in fixed.items() if isinstance(v, dict)]
     assert {"staple_sensitivity", "staple_specificity"} <= set(fixed[m_ids[0]])
     assert np.isfinite(fixed["dp_consensus_oracle_dice"]).all()
+
+
+def test_pipeline_cli_end_to_end(tmp_path):
+    """`python -m deep_staple_tpu.pipeline`: train -> consensus -> nnU-Net
+    export in ONE command (the reference needs its training script + the
+    consensus notebook + the nnU-Net prep script for this chain)."""
+    import json
+
+    from deep_staple_tpu.data.synthetic import generate_synthetic_crossmoda
+
+    generate_synthetic_crossmoda(tmp_path, num_cases=3, atlas_count=3, size=(12, 12, 12), seed=2)
+    proc = subprocess.run(
+        [sys.executable, "-m", "deep_staple_tpu.pipeline",
+         "--dataset", "synthetic", "--reg-state", "synthetic",
+         "--dataset-directory", str(tmp_path), "--crop-3d-w-dim-range", "none",
+         "--epochs", "1", "--batch-size", "4", "--num-val-images", "1",
+         "--use-checkpointing", "false", "--ool-mode", "fused",
+         "--staple-iterations", "30",
+         "--nnunet-dir", str(tmp_path / "nnunet"),
+         "--output-dir", str(tmp_path / "out"), "--mdl-save-prefix", str(tmp_path / "models")],
+        env=_clean_env(), cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:] + proc.stdout[-1500:]
+    assert "DP consensus mean dice" in proc.stdout
+    assert "pipeline summary" in proc.stdout
+
+    summary = json.loads((tmp_path / "out" / "pipeline_summary.json").read_text())
+    fold = summary["0"]
+    assert os.path.isfile(fold["snapshot"])
+    assert os.path.isfile(fold["consensus_dicts"])
+    assert np.isfinite(fold["dices"]["dp_consensus"])
+    # nnU-Net task folders with labels
+    assert fold["nnunet_tasks"]
+    labels = glob.glob(str(tmp_path / "nnunet" / "fold0" / "Task*" / "labelsTr" / "*.nii.gz"))
+    assert labels
