@@ -17,6 +17,8 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--staple-iters", type=int, default=200)
     p.add_argument("--native", action="store_true", help="use the C++ STAPLE instead of JAX")
+    p.add_argument("--plot-dir", default=None,
+                   help="also write the paper's boxplot + per-case atlas-weighting figures here")
     args = p.parse_args(argv)
 
     cd = evaluate_consensus(
@@ -26,6 +28,17 @@ def main(argv=None):
     )
     extract_consensus_dices(cd)
     print(f"wrote {args.output} ({len(cd)} fixed images)")
+
+    if args.plot_dir is not None:
+        from pathlib import Path
+
+        from .figures import save_atlas_weighting_figure, save_consensus_boxplot
+
+        plot_dir = Path(args.plot_dir)
+        save_consensus_boxplot({"run": cd}, plot_dir / "consensus_boxplot.png")
+        for f_id in cd:
+            save_atlas_weighting_figure(cd, f_id, plot_dir / f"weighting_{f_id}.png")
+        print(f"figures -> {plot_dir}")
 
 
 if __name__ == "__main__":
