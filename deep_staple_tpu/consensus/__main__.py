@@ -21,6 +21,9 @@ def main(argv=None):
                    help="also write the paper's boxplot + per-case atlas-weighting figures here")
     args = p.parse_args(argv)
 
+    from ..core.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     cd = evaluate_consensus(
         args.snapshot, out_path=args.output,
         staple_max_iterations=args.staple_iters,

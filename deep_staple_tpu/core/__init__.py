@@ -1,3 +1,4 @@
+from .cache import enable_persistent_compile_cache
 from .config import TrainConfig, DataParamMode, LabelDisturbanceMode, DotDict
 from .determinism import reset_determinism, seeded_rng
 
@@ -8,4 +9,5 @@ __all__ = [
     "DotDict",
     "reset_determinism",
     "seeded_rng",
+    "enable_persistent_compile_cache",
 ]

@@ -254,3 +254,34 @@ def add_cli_args(parser, config: TrainConfig = TrainConfig()):
         else:  # Optional[...] and tuples
             parser.add_argument(name, type=_smart_value, default=default)
     return parser
+
+
+def add_preset_arg(parser):
+    """`--preset {reference,production}` for training-style CLIs."""
+    parser.add_argument(
+        "--preset", choices=("reference", "production"), default="reference",
+        help="'reference' = reference-exact semantics (fp32, strict OOL, "
+        "reference augment order, remat); 'production' = the recommended "
+        "TPU operating point (fused OOL, fast-int8 augment order, bfloat16, "
+        "no remat — see TrainConfig.tpu_production). Explicit flags override "
+        "the preset either way.",
+    )
+    return parser
+
+
+def apply_preset(overrides: dict, preset: str, argv_tokens) -> dict:
+    """Merge a named preset into parsed CLI overrides, in place.
+
+    Explicit flags always win over the preset: a field counts as explicit when
+    its `--flag` token appears in argv.
+    """
+    if preset == "production":
+        explicit = {
+            tok.split("=")[0].lstrip("-").replace("-", "_")
+            for tok in argv_tokens
+            if tok.startswith("--")
+        }
+        for k, v in TrainConfig.tpu_production().to_dict().items():
+            if k not in explicit:
+                overrides[k] = v
+    return overrides

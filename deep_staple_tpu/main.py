@@ -15,7 +15,8 @@ import argparse
 import itertools
 import time
 
-from .core.config import TrainConfig, add_cli_args
+from .core.cache import enable_persistent_compile_cache
+from .core.config import TrainConfig, add_cli_args, add_preset_arg, apply_preset
 from .train.driver import train_dl
 from .train.prepare import prepare_data
 
@@ -131,33 +132,16 @@ def maybe_init_distributed(config: TrainConfig):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="DeepSTAPLE-TPU training")
-    parser.add_argument(
-        "--preset", choices=("reference", "production"), default="reference",
-        help="'reference' = reference-exact semantics (fp32, strict OOL, "
-        "reference augment order, remat); 'production' = the recommended "
-        "TPU operating point (fused OOL, fast-int8 augment order, bfloat16, "
-        "no remat — see TrainConfig.tpu_production). Explicit flags override "
-        "the preset either way.",
-    )
+    add_preset_arg(parser)
     add_cli_args(parser)
     args = parser.parse_args(argv)
     overrides = vars(args).copy()
     preset = overrides.pop("preset")
-    if preset == "production":
-        # Apply production values except where a flag was explicitly passed
-        # on the command line (explicit flags always win over the preset).
-        import sys
+    import sys
 
-        argv_tokens = argv if argv is not None else sys.argv[1:]
-        explicit = {
-            tok.split("=")[0].lstrip("-").replace("-", "_")
-            for tok in argv_tokens
-            if tok.startswith("--")
-        }
-        for k, v in TrainConfig.tpu_production().to_dict().items():
-            if k not in explicit:
-                overrides[k] = v
+    apply_preset(overrides, preset, argv if argv is not None else sys.argv[1:])
     config = TrainConfig.from_dict(overrides)
+    enable_persistent_compile_cache()
     maybe_init_distributed(config)
     if config.do_sweep:
         if config.wandb_mode != "disabled":

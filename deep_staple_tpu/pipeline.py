@@ -23,7 +23,8 @@ from pathlib import Path
 
 import numpy as np
 
-from .core.config import TrainConfig, add_cli_args
+from .core.cache import enable_persistent_compile_cache
+from .core.config import TrainConfig, add_cli_args, add_preset_arg, apply_preset
 from .main import maybe_init_distributed, normal_run
 
 
@@ -77,6 +78,7 @@ def main(argv=None):
                         help="export consensus variants as nnU-Net task folders here")
     parser.add_argument("--task-prefix", type=int, default=555)
     parser.add_argument("--staple-iterations", type=int, default=200)
+    add_preset_arg(parser)
     add_cli_args(parser)
     args = parser.parse_args(argv)
 
@@ -85,7 +87,12 @@ def main(argv=None):
     nnunet_dir = overrides.pop("nnunet_dir")
     task_prefix = overrides.pop("task_prefix")
     staple_iterations = overrides.pop("staple_iterations")
+    preset = overrides.pop("preset")
+    import sys
+
+    apply_preset(overrides, preset, argv if argv is not None else sys.argv[1:])
     config = TrainConfig.from_dict(overrides)
+    enable_persistent_compile_cache()
     maybe_init_distributed(config)
     return run_pipeline(
         config, run_name=run_name, nnunet_dir=nnunet_dir,

@@ -216,6 +216,9 @@ def main(argv=None):
     ap.add_argument("--mesh-data", type=int, default=1,
                     help="shard each batch over this many devices (must divide --batch-size)")
     args = ap.parse_args(argv)
+    from .core.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     serve(args.checkpoint, args.inputs, args.output_dir, args.batch_size,
           args.eval_scale, args.output_space, tuple(args.size), args.mesh_data)
 

@@ -114,3 +114,49 @@ def test_pipeline_cli_end_to_end(tmp_path):
     assert fold["nnunet_tasks"]
     labels = glob.glob(str(tmp_path / "nnunet" / "fold0" / "Task*" / "labelsTr" / "*.nii.gz"))
     assert labels
+
+
+def test_apply_preset_merges_and_respects_explicit_flags():
+    """`--preset production` semantics: merge TrainConfig.tpu_production into
+    the parsed overrides, but any flag present on the command line wins."""
+    from deep_staple_tpu.core.config import TrainConfig, apply_preset
+
+    prod = TrainConfig.tpu_production().to_dict()
+    o = TrainConfig().to_dict()
+    apply_preset(o, "production", ["--epochs", "2"])
+    assert o["ool_mode"] == prod["ool_mode"] == "fused"
+    assert o["augment_order"] == prod["augment_order"]
+    assert o["compute_dtype"] == "bfloat16"
+
+    # explicit flag (either --flag value or --flag=value form) wins
+    o2 = TrainConfig().to_dict()
+    apply_preset(o2, "production", ["--ool-mode=strict"])
+    assert o2["ool_mode"] == "strict"
+
+    # reference preset is a no-op
+    o3 = TrainConfig().to_dict()
+    apply_preset(o3, "reference", [])
+    assert o3 == TrainConfig().to_dict()
+
+
+def test_compile_cache_helper(monkeypatch, tmp_path):
+    """CLI entry points enable XLA's persistent compile cache; an explicit
+    JAX_COMPILATION_CACHE_DIR is honored by returning early (jax reads it)."""
+    import jax
+
+    from deep_staple_tpu.core.cache import enable_persistent_compile_cache
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/some/where")
+    assert enable_persistent_compile_cache() == "/some/where"
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        out = enable_persistent_compile_cache()
+        expected = tmp_path / "deep_staple_tpu" / "jax_cache"
+        assert out == str(expected)
+        assert expected.is_dir()
+        assert jax.config.jax_compilation_cache_dir == out
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
