@@ -29,7 +29,8 @@ from .main import maybe_init_distributed, normal_run
 
 
 def run_pipeline(config: TrainConfig, run_name=None, nnunet_dir=None,
-                 task_prefix: int = 555, staple_iterations: int = 200):
+                 task_prefix: int = 555, staple_iterations: int = 200,
+                 plot_dir=None):
     from .consensus.evaluate import evaluate_consensus, extract_consensus_dices
 
     results = normal_run(config, run_name)
@@ -60,6 +61,16 @@ def run_pipeline(config: TrainConfig, run_name=None, nnunet_dir=None,
                 cd, Path(nnunet_dir) / f"fold{fold_idx}", task_prefix=task_prefix
             )
             summary[fold_idx]["nnunet_tasks"] = [str(w) for w in written]
+        if plot_dir is not None:
+            from .consensus.figures import (save_atlas_weighting_figure,
+                                            save_consensus_boxplot)
+
+            fold_plot_dir = Path(plot_dir) / f"fold{fold_idx}"
+            fold_plot_dir.mkdir(parents=True, exist_ok=True)
+            save_consensus_boxplot({"run": cd}, fold_plot_dir / "consensus_boxplot.png")
+            for f_id in cd:
+                save_atlas_weighting_figure(cd, f_id, fold_plot_dir / f"weighting_{f_id}.png")
+            summary[fold_idx]["plots"] = str(fold_plot_dir)
 
     summary_path = Path(config.output_dir) / "pipeline_summary.json"
     summary_path.parent.mkdir(parents=True, exist_ok=True)
@@ -78,6 +89,8 @@ def main(argv=None):
                         help="export consensus variants as nnU-Net task folders here")
     parser.add_argument("--task-prefix", type=int, default=555)
     parser.add_argument("--staple-iterations", type=int, default=200)
+    parser.add_argument("--plot-dir", default=None,
+                        help="write the consensus boxplot + per-case atlas-weighting figures here")
     add_preset_arg(parser)
     add_cli_args(parser)
     args = parser.parse_args(argv)
@@ -87,6 +100,7 @@ def main(argv=None):
     nnunet_dir = overrides.pop("nnunet_dir")
     task_prefix = overrides.pop("task_prefix")
     staple_iterations = overrides.pop("staple_iterations")
+    plot_dir = overrides.pop("plot_dir")
     preset = overrides.pop("preset")
     import sys
 
@@ -97,6 +111,7 @@ def main(argv=None):
     return run_pipeline(
         config, run_name=run_name, nnunet_dir=nnunet_dir,
         task_prefix=task_prefix, staple_iterations=staple_iterations,
+        plot_dir=plot_dir,
     )
 
 

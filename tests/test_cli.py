@@ -98,6 +98,7 @@ def test_pipeline_cli_end_to_end(tmp_path):
          "--use-checkpointing", "false", "--ool-mode", "fused",
          "--staple-iterations", "30",
          "--nnunet-dir", str(tmp_path / "nnunet"),
+         "--plot-dir", str(tmp_path / "plots"),
          "--output-dir", str(tmp_path / "out"), "--mdl-save-prefix", str(tmp_path / "models")],
         env=_clean_env(), cwd=REPO, capture_output=True, text=True, timeout=900,
     )
@@ -114,6 +115,9 @@ def test_pipeline_cli_end_to_end(tmp_path):
     assert fold["nnunet_tasks"]
     labels = glob.glob(str(tmp_path / "nnunet" / "fold0" / "Task*" / "labelsTr" / "*.nii.gz"))
     assert labels
+    # --plot-dir wrote the consensus boxplot + per-case weighting figures
+    assert os.path.isfile(tmp_path / "plots" / "fold0" / "consensus_boxplot.png")
+    assert glob.glob(str(tmp_path / "plots" / "fold0" / "weighting_*.png"))
 
 
 def test_apply_preset_merges_and_respects_explicit_flags():
