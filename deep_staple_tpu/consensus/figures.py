@@ -48,11 +48,15 @@ def _load_dicts(consensus_dicts_or_path):
 
 
 def consensus_dice_arrays(consensus_dicts_or_path):
-    """Tumour-class oracle dices as (staple[N], dp[N]) arrays."""
+    """Tumour-class oracle dices as (dp[N], staple[N]) arrays.
+
+    Same order as `evaluate.extract_consensus_dices` so the two are
+    interchangeable (this one skips the printing and accepts a path).
+    """
     cd = _load_dicts(consensus_dicts_or_path)
     dp = np.concatenate([np.asarray(v["dp_consensus_oracle_dice"]) for v in cd.values()])[:, 1]
     st = np.concatenate([np.asarray(v["staple_consensus_oracle_dice"]) for v in cd.values()])[:, 1]
-    return st, dp
+    return dp, st
 
 
 def save_consensus_boxplot(
@@ -66,7 +70,7 @@ def save_consensus_boxplot(
     """The paper's consensus comparison figure (consensus.ipynb cell 9).
 
     ``runs`` maps run name (e.g. 'deeds', 'convex_adam') to either a
-    consensus-dicts object/path or a ``(staple_dices, dp_dices)`` pair in
+    consensus-dicts object/path or a ``(dp_dices, staple_dices)`` pair in
     [0, 1]. Each run contributes one box per consensus method at the shared
     STAPLE/DP rows — multiple runs interleave above/below the row centre
     exactly like the reference's deeds/Convex-Adam pairing. ``baselines``
@@ -77,9 +81,9 @@ def save_consensus_boxplot(
     run_items = []
     for name, data in runs.items():
         if isinstance(data, tuple) and len(data) == 2 and not isinstance(data[0], dict):
-            st, dp = np.asarray(data[0], np.float64), np.asarray(data[1], np.float64)
+            dp, st = np.asarray(data[0], np.float64), np.asarray(data[1], np.float64)
         else:
-            st, dp = consensus_dice_arrays(data)
+            dp, st = consensus_dice_arrays(data)
         run_items.append((name, st * 100.0, dp * 100.0))
 
     n_runs = len(run_items)

@@ -273,7 +273,9 @@ def apply_preset(overrides: dict, preset: str, argv_tokens) -> dict:
     """Merge a named preset into parsed CLI overrides, in place.
 
     Explicit flags always win over the preset: a field counts as explicit when
-    its `--flag` token appears in argv.
+    its `--flag` token appears in argv. Only fields the preset actually
+    changes from the dataclass defaults are merged, so unrelated flags are
+    never touched.
     """
     if preset == "production":
         explicit = {
@@ -281,7 +283,8 @@ def apply_preset(overrides: dict, preset: str, argv_tokens) -> dict:
             for tok in argv_tokens
             if tok.startswith("--")
         }
+        base = TrainConfig().to_dict()
         for k, v in TrainConfig.tpu_production().to_dict().items():
-            if k not in explicit:
+            if v != base[k] and k not in explicit:
                 overrides[k] = v
     return overrides

@@ -131,7 +131,9 @@ def maybe_init_distributed(config: TrainConfig):
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="DeepSTAPLE-TPU training")
+    # allow_abbrev=False: abbreviated flags would evade apply_preset's
+    # explicit-flag detection (token match) and get silently clobbered.
+    parser = argparse.ArgumentParser(description="DeepSTAPLE-TPU training", allow_abbrev=False)
     add_preset_arg(parser)
     add_cli_args(parser)
     args = parser.parse_args(argv)

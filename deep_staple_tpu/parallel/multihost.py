@@ -45,9 +45,33 @@ def replicate_to_mesh(tree, mesh: Mesh):
     jax.Array. Single-process it degenerates to a plain device_put.
     """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        # Fast path: no host round trip — device_put replicates directly
+        # (arrays already on device move without touching the host).
+        return jax.device_put(tree, sharding)
     return jax.tree.map(
         lambda v: jax.make_array_from_process_local_data(sharding, np.asarray(v)), tree
     )
+
+
+def coordination_barrier(name: str, timeout_ms: int = 1_200_000) -> None:
+    """Block until every process reaches this barrier (coordination service).
+
+    Uses the distributed runtime's gRPC barrier, NOT a device collective, so
+    it works while processes are arbitrarily skewed. The driver calls it
+    after AOT-compiling the train step and before its first dispatch: the
+    first cross-process collective otherwise opens its transport rendezvous
+    (Gloo on CPU: 30s connect window) as soon as the FASTEST process
+    dispatches, and dataset-load + compile skew between processes can exceed
+    that, failing the whole job before step one.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
 
 
 def local_batch_to_global(local_batch: dict, mesh: Mesh, spatial_axis: bool = False):

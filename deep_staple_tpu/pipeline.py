@@ -35,6 +35,14 @@ def run_pipeline(config: TrainConfig, run_name=None, nnunet_dir=None,
 
     results = normal_run(config, run_name)
 
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # Multi-host: only process 0 exports snapshots (train/driver.py); the
+        # consensus/summary artifacts are its to write too — a non-main
+        # process must not clobber pipeline_summary.json on shared storage.
+        return {}
+
     summary = {}
     for fold_idx, res in results.items():
         snapshot_path = res.get("snapshot_path")
@@ -83,7 +91,9 @@ def run_pipeline(config: TrainConfig, run_name=None, nnunet_dir=None,
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    # allow_abbrev=False: see main.py — abbreviated flags would evade
+    # apply_preset's explicit-flag detection.
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0], allow_abbrev=False)
     parser.add_argument("--run-name", default=None)
     parser.add_argument("--nnunet-dir", default=None,
                         help="export consensus variants as nnU-Net task folders here")

@@ -113,6 +113,9 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
         input_paths[s : s + batch_size]
         for s in range(0, len(input_paths), batch_size)
     ]
+    if not path_chunks:
+        print("served 0 volumes (no inputs)")
+        return []
 
     def _load_chunk(paths):
         vols, metas = [], []

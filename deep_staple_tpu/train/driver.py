@@ -270,6 +270,7 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
         t_start = time.time()
         sched_steps = int(np.asarray(state.sched_steps))
         step_times = []
+        first_dispatch = True
 
         for epx in range(epx_start, config.epochs):
             global_idx = get_global_idx(fold_idx, epx, config.epochs)
@@ -339,6 +340,17 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                     else cosine_warm_restarts_lr(config.lr, sched_steps)
                 )
                 rng, step_rng = jax.random.split(rng)
+                if first_dispatch and nproc > 1:
+                    # AOT-compile, then rendezvous all processes before the
+                    # first dispatch: the step's collectives open their
+                    # transport rendezvous at dispatch time, and compile/
+                    # dataset-load skew between hosts can exceed the
+                    # transport's connect timeout (multihost.py).
+                    from ..parallel.multihost import coordination_barrier
+
+                    train_step.lower(state, batch, lr, step_rng).compile()
+                    coordination_barrier(f"first-train-step-fold{fold_idx}")
+                first_dispatch = False
                 t0 = time.time()
                 state, metrics = train_step(state, batch, lr, step_rng)
                 if pending_metrics is not None:

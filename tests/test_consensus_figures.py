@@ -18,12 +18,17 @@ def _evaluated(rng):
 
 def test_boxplot_two_runs_with_baselines(rng, tmp_path):
     cd = _evaluated(rng)
-    st, dp = consensus_dice_arrays(cd)
+    dp, st = consensus_dice_arrays(cd)
     assert st.shape == dp.shape and st.ndim == 1 and st.size == 3
     assert np.all((0.0 <= st) & (st <= 1.0)) and np.all((0.0 <= dp) & (dp <= 1.0))
+    # same order as extract_consensus_dices — the two must be interchangeable
+    from deep_staple_tpu.consensus.evaluate import extract_consensus_dices
+
+    dp2, st2 = extract_consensus_dices(cd)
+    assert np.allclose(dp, dp2) and np.allclose(st, st2)
 
     out = save_consensus_boxplot(
-        {"deeds": cd, "convex_adam": (st * 0.9, dp * 0.95)},
+        {"deeds": cd, "convex_adam": (dp * 0.95, st * 0.9)},
         tmp_path / "boxplot.png",
         baselines={"deeds": [28.9, 48.0, 56.9], "convex_adam": [20.8, 49.5, 60.0]},
         oracle={"deeds": 84.4, "convex_adam": 83.8},
