@@ -314,6 +314,95 @@ def _warp_trilinear_border_int8pack(vol, grid):
     return (out * scale).reshape((B,) + out_spatial)
 
 
+def _warp_fused_int6pack(vol, lbl, mod, grid):
+    """Fully fused warp of image + BOTH binary labels: 2 gathers total.
+
+    Word layout (32 bits per voxel): the 2x2 in-plane image corner quad as
+    four int6 quanta (bits 0..23) plus the same corner quad's label codes
+    (label | modified<<1, 2 bits each, bits 24..31). One gather per z corner
+    (z0, z1) fetches everything: image trilinear/border AND both labels
+    nearest/zeros ride the same two index streams — the TPU gather is
+    per-index issue-bound (benchmarks/probe_gather.py), so this is 2/3 the
+    warp cost of '{fast,reference}-int8' (which needs a third gather for the
+    packed labels).
+
+    Image quantization step = absmax/31 (~3.2% of absmax). Callers using the
+    'int6' augment orders compensate by shrinking the pipeline's own additive
+    Gaussian noise so the TOTAL perturbation variance stays at the configured
+    strength (`augment_sample_pair`). Labels must be binary {0, 1} (the
+    CrossMoDa operating point, `CrossmodaHybridIdLoader.py:199-200`); the
+    nearest/zeros label semantics match `_warp_nearest_zeros` exactly.
+
+    Returns (image, label, modified_label) at the grid's output shape.
+    """
+    B, D, H, W = vol.shape
+    x0, y0, z0, wx, wy, wz, out_spatial = _warp_corner_coords(
+        vol, grid, pair_x=True, pair_y=True
+    )
+
+    scale = jnp.max(jnp.abs(vol.reshape(B, -1)), axis=1, keepdims=True) / 31.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(vol.reshape(B, -1) / scale), -31, 31).reshape(vol.shape)
+    q = q.astype(jnp.int32) & 0x3F
+    code = (lbl + 2 * mod).astype(jnp.int32)  # 2-bit label code per voxel
+
+    def shifts(a):
+        ax = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)  # (x+1)
+        ay = jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)  # (y+1)
+        axy = jnp.concatenate([ax[:, :, 1:], ax[:, :, -1:]], axis=2)  # (x+1, y+1)
+        return ax, ay, axy
+
+    qx, qy, qxy = shifts(q)
+    cx, cy, cxy = shifts(code)
+    packed = (
+        q | (qx << 6) | (qy << 12) | (qxy << 18)
+        | (code << 24) | (cx << 26) | (cy << 28) | (cxy << 30)
+    ).astype(jnp.uint32)
+    pf = packed.reshape(B, D * H * W)
+
+    def unpack_int6(word, shift):
+        b = ((word >> shift) & 0x3F).astype(jnp.int32)
+        return ((b ^ 0x20) - 0x20).astype(jnp.float32)  # 6-bit sign extension
+
+    # Nearest-corner selection for labels: round() exactly as
+    # `_warp_nearest_zeros` (incl. its half-to-even ties), expressed relative
+    # to the pair-clamped base corner so it rides the same gathered words.
+    xr = jnp.clip(_unnormalize_ac_false(grid[..., 0], W), 0, W - 1).reshape(x0.shape)
+    yr = jnp.clip(_unnormalize_ac_false(grid[..., 1], H), 0, H - 1).reshape(y0.shape)
+    zr = jnp.clip(_unnormalize_ac_false(grid[..., 2], D), 0, D - 1).reshape(z0.shape)
+    sel_x = jnp.round(xr).astype(jnp.int32) - x0  # 0 or 1
+    sel_y = jnp.round(yr).astype(jnp.int32) - y0
+    sel_z = jnp.round(zr).astype(jnp.int32) - z0
+    lbl_shift = (24 + 2 * sel_x + 4 * sel_y).astype(jnp.uint32)
+
+    # zeros-padding validity from the UNCLAMPED rounded coords
+    # (`_warp_nearest_zeros` semantics).
+    xu = jnp.round(_unnormalize_ac_false(grid[..., 0], W)).reshape(x0.shape)
+    yu = jnp.round(_unnormalize_ac_false(grid[..., 1], H)).reshape(y0.shape)
+    zu = jnp.round(_unnormalize_ac_false(grid[..., 2], D)).reshape(z0.shape)
+    valid = (
+        (xu >= 0) & (xu < W) & (yu >= 0) & (yu < H) & (zu >= 0) & (zu < D)
+    ).astype(jnp.int32)
+
+    img = 0.0
+    lbl_code = 0
+    for dz in (0, 1):
+        lin = (jnp.minimum(z0 + dz, D - 1) * H + y0) * W + x0
+        word = jnp.take_along_axis(pf, lin, axis=1)
+        v00 = unpack_int6(word, 0)
+        v10 = unpack_int6(word, 6)
+        v01 = unpack_int6(word, 12)
+        v11 = unpack_int6(word, 18)
+        v = (1 - wy) * ((1 - wx) * v00 + wx * v10) + wy * ((1 - wx) * v01 + wx * v11)
+        img = img + v * (wz if dz else 1 - wz)
+        c = ((word >> lbl_shift) & 0x3).astype(jnp.int32)
+        lbl_code = jnp.where(sel_z == dz, c, lbl_code)
+
+    lbl_code = lbl_code * valid
+    img = (img * scale).reshape((B,) + out_spatial)
+    return img, (lbl_code & 1).reshape((B,) + out_spatial), (lbl_code >> 1).reshape((B,) + out_spatial)
+
+
 def _warp_nearest_zeros(vol, grid):
     """Fast nearest warp, padding_mode='zeros', align_corners=False.
     vol: (B, D, H, W); grid: (B, D', H', W', 3)."""
@@ -415,36 +504,63 @@ def augment_sample_pair(
         image warp (2 gathers instead of 8: the whole 2x2 in-plane corner
         footprint rides one 32-bit word; ~1%-of-absmax quantization, several
         times below the pipeline's own additive noise). Labels exact.
+      'fast-int6' / 'reference-int6' — ONE fully fused 2-gather warp for
+        image AND both labels: int6 image quad + 2-bit label-code quad share
+        each 32-bit word (`_warp_fused_int6pack`; binary labels only). The
+        int6 quantization noise (uniform, var step²/12) is carved out of the
+        configured additive-noise budget so the total per-voxel perturbation
+        variance stays at `noise_strength²` — the augmentation's own noise
+        pays for the quantization. Label warps stay exact.
 
     The two label warps share one nearest-neighbor gather (labels packed into
-    one volume) — a quarter of the index traffic of two separate warps.
+    one volume) — a quarter of the index traffic of two separate warps; the
+    'int6' orders go further and ride them on the image gathers.
     """
     orders = (
-        "reference", "reference-bf16", "reference-int8", "fast", "fast-bf16", "fast-int8"
+        "reference", "reference-bf16", "reference-int8", "reference-int6",
+        "fast", "fast-bf16", "fast-int8", "fast-int6",
     )
     if order not in orders:
         raise ValueError(f"unknown augment order {order!r}")
     k_noise, k_spatial = jax.random.split(key)
-    b_image = augment_noise(k_noise, b_image, params.noise_strength)
+    noise_strength = params.noise_strength
+    if order.endswith("-int6") and not use_2d:
+        # Noise-budget-aware quantization: subtract the int6 quantizer's
+        # variance from the additive-noise budget, per sample (exact while
+        # step²/12 <= strength²; clamps to zero extra noise beyond that).
+        absmax = jnp.max(jnp.abs(b_image.reshape(b_image.shape[0], -1)), axis=1)
+        var = params.noise_strength**2 - (absmax / 31.0) ** 2 / 12.0
+        noise_strength = jnp.sqrt(jnp.maximum(var, 0.0)).reshape(
+            (-1,) + (1,) * (b_image.ndim - 1)
+        )
+    b_image = augment_noise(k_noise, b_image, noise_strength)
 
-    if order in ("fast", "fast-bf16", "fast-int8") and not use_2d:
+    if order in ("fast", "fast-bf16", "fast-int8", "fast-int6") and not use_2d:
         base_spatial = b_image.shape[1:]
         out_spatial = tuple(int(s * pre_interpolation_factor) for s in base_spatial)
         grid = make_augment_grid(
             k_spatial, b_image.shape[0], base_spatial, params, use_2d=False,
             strength_spatial=out_spatial,
         )
-        warp_img = {
-            "fast": _warp_trilinear_border,
-            "fast-bf16": _warp_trilinear_border_bf16pack,
-            "fast-int8": _warp_trilinear_border_int8pack,
-        }[order]
-        img = warp_img(b_image.astype(jnp.float32), grid)
-        packed = (b_label + 256 * b_modified_label).astype(jnp.float32)
-        warped = _warp_nearest_zeros(packed, grid)
+        if order == "fast-int6":
+            img, lbl_w, mod_w = _warp_fused_int6pack(
+                b_image.astype(jnp.float32), b_label, b_modified_label, grid
+            )
+            warped = (lbl_w + 2 * mod_w).astype(jnp.float32)
+            divisor = 2
+        else:
+            warp_img = {
+                "fast": _warp_trilinear_border,
+                "fast-bf16": _warp_trilinear_border_bf16pack,
+                "fast-int8": _warp_trilinear_border_int8pack,
+            }[order]
+            img = warp_img(b_image.astype(jnp.float32), grid)
+            packed = (b_label + 256 * b_modified_label).astype(jnp.float32)
+            warped = _warp_nearest_zeros(packed, grid)
+            divisor = 256
         img, _ = interpolate_sample(img, None, pre_interpolation_factor, False)
         _, warped_i = interpolate_sample(None, warped.astype(jnp.int32), pre_interpolation_factor, False)
-        return img, warped_i % 256, warped_i // 256, grid
+        return img, warped_i % divisor, warped_i // divisor, grid
 
     b_image, _ = interpolate_sample(b_image, None, pre_interpolation_factor, use_2d)
     _, b_label = interpolate_sample(None, b_label, pre_interpolation_factor, use_2d)
@@ -461,6 +577,10 @@ def augment_sample_pair(
         warped = grid_sample_2d(both, grid, mode="nearest", padding_mode="zeros", align_corners=False)
         b_label = warped[:, 0].astype(jnp.int32)
         b_modified_label = warped[:, 1].astype(jnp.int32)
+    elif order == "reference-int6":
+        b_image, b_label, b_modified_label = _warp_fused_int6pack(
+            b_image.astype(jnp.float32), b_label, b_modified_label, grid
+        )
     else:
         warp_img = {
             "reference": _warp_trilinear_border,

@@ -84,6 +84,13 @@ def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighti
     """
     use_dp = config.data_param_mode == DataParamMode.INSTANCE_PARAMS
     use_2d = config.use_2d_normal_to is not None
+    if config.augment_order.endswith("-int6") and len(class_weights) != 2:
+        # The fused warp packs each label as a 2-bit (label | modified<<1)
+        # code (ops/augment.py::_warp_fused_int6pack) — binary labels only.
+        raise ValueError(
+            f"augment_order {config.augment_order!r} supports binary labels only "
+            f"(got {len(class_weights)} classes); use 'fast-int8' instead"
+        )
     class_weights = jnp.asarray(class_weights, jnp.float32)
     fixed_weighting = jnp.asarray(fixed_weighting, jnp.float32)
 

@@ -188,3 +188,95 @@ def test_unknown_augment_order_raises(rng):
     with pytest.raises(ValueError, match="unknown augment order"):
         augment_sample_pair(jax.random.PRNGKey(0), img, lbl, lbl,
                             AugmentParams(), 1.5, order="fast_bf16")
+
+
+def test_warp_fused_int6pack_matches_exact_warps(rng):
+    """The fused 2-gather warp: image within half an int6 step of the exact
+    trilinear warp; BOTH label streams bit-exact vs the nearest/zeros warp."""
+    from deep_staple_tpu.ops.augment import _warp_fused_int6pack
+
+    B, D, H, W = 2, 14, 13, 9
+    vol = jnp.asarray(rng.randn(B, D, H, W).astype(np.float32))
+    lbl = jnp.asarray((rng.rand(B, D, H, W) > 0.8).astype(np.int32))
+    mod = jnp.asarray((rng.rand(B, D, H, W) > 0.7).astype(np.int32))
+    grid = _random_grid(rng, B, (10, 11, 7))
+
+    img, lw, mw = (np.asarray(a) for a in _warp_fused_int6pack(vol, lbl, mod, grid))
+    exact = np.asarray(_warp_trilinear_border(vol, grid))
+    absmax = np.abs(np.asarray(vol)).max(axis=(1, 2, 3))
+    for b in range(B):
+        # trilinear blend of per-corner errors each <= absmax/62 (+eps)
+        assert np.abs(img[b] - exact[b]).max() <= absmax[b] / 62 * 1.01
+    np.testing.assert_array_equal(lw, np.asarray(_warp_nearest_zeros(lbl.astype(jnp.float32), grid)))
+    np.testing.assert_array_equal(mw, np.asarray(_warp_nearest_zeros(mod.astype(jnp.float32), grid)))
+
+
+def test_warp_fused_int6pack_edge_exact_coordinates():
+    # x and y exactly on the last voxel: the pair-clamped quad must return
+    # the border value for the image and the last voxel's labels.
+    from deep_staple_tpu.ops.augment import _warp_fused_int6pack
+
+    B, D, H, W = 1, 4, 4, 4
+    vol = jnp.arange(B * D * H * W, dtype=jnp.float32).reshape(B, D, H, W)
+    lbl = (jnp.arange(B * D * H * W, dtype=jnp.int32).reshape(B, D, H, W) % 2)
+    cx = (2 * (W - 1) + 1) / W - 1
+    cy = (2 * (H - 1) + 1) / H - 1
+    grid = jnp.zeros((B, 2, 2, 2, 3), jnp.float32).at[..., 0].set(cx).at[..., 1].set(cy)
+    want_img = np.asarray(
+        grid_sample_3d(vol[:, None], grid, mode="bilinear", padding_mode="border", align_corners=False)
+    )[:, 0]
+    want_lbl = np.asarray(
+        grid_sample_3d(lbl[:, None].astype(jnp.float32), grid, mode="nearest",
+                       padding_mode="zeros", align_corners=False)
+    )[:, 0]
+    img, lw, mw = (np.asarray(a) for a in _warp_fused_int6pack(vol, lbl, lbl, grid))
+    np.testing.assert_allclose(img, want_img, rtol=0, atol=float(np.abs(vol).max()) / 62 * 1.01)
+    np.testing.assert_array_equal(lw, want_lbl)
+    np.testing.assert_array_equal(mw, want_lbl)
+
+
+def test_int6_orders_labels_exact_and_image_close(rng):
+    from deep_staple_tpu.ops.augment import AugmentParams, augment_sample_pair
+
+    img = jnp.asarray(rng.randn(2, 12, 12, 8).astype(np.float32))
+    lbl = jnp.asarray((rng.rand(2, 12, 12, 8) > 0.8).astype(np.int32))
+    mod = jnp.asarray((rng.rand(2, 12, 12, 8) > 0.7).astype(np.int32))
+    key = jax.random.PRNGKey(11)
+    for base, fused in (("fast", "fast-int6"), ("reference", "reference-int6")):
+        a = augment_sample_pair(key, img, lbl, mod, AugmentParams(), 1.5, order=base)
+        b = augment_sample_pair(key, img, lbl, mod, AugmentParams(), 1.5, order=fused)
+        # same PRNG stream -> same warp grid; labels are noise-independent
+        # and must match the base order bit-exactly.
+        np.testing.assert_array_equal(np.asarray(b[1]), np.asarray(a[1]))
+        np.testing.assert_array_equal(np.asarray(b[2]), np.asarray(a[2]))
+        # image differs by int6 quantization + the (smaller) compensated
+        # noise draw: bounded by quant step + noise delta
+        assert np.abs(np.asarray(b[0]) - np.asarray(a[0])).max() < 0.35
+
+
+def test_int6_noise_budget_total_variance(rng):
+    """Under an identity warp, quantization + compensated noise must add up
+    to the configured perturbation variance (the budget-compensation claim)."""
+    from deep_staple_tpu.ops.augment import AugmentParams, augment_sample_pair
+
+    img = jnp.asarray((rng.rand(1, 24, 24, 16).astype(np.float32) * 6.2 - 3.1))
+    lbl = jnp.zeros((1, 24, 24, 16), jnp.int32)
+    params = AugmentParams(noise_strength=0.05, bspline_probability=0.0, affine_probability=0.0,
+                           affine_strength=0.0, bspline_strength=0.0)
+    out, _, _, _ = augment_sample_pair(
+        jax.random.PRNGKey(5), img, lbl, lbl, params, 1.0, order="reference-int6"
+    )
+    resid = np.asarray(out) - np.asarray(img)
+    total_sd = resid.std()
+    assert 0.035 < total_sd < 0.065, total_sd  # ~strength, not strength+quant
+
+
+def test_int6_order_requires_binary_labels():
+    import pytest
+
+    from deep_staple_tpu.core.config import TrainConfig
+    from deep_staple_tpu.train.step import make_train_step
+
+    config = TrainConfig(augment_order="fast-int6")
+    with pytest.raises(ValueError, match="binary labels"):
+        make_train_step(None, None, config, np.ones(3, np.float32), np.ones(4, np.float32))
