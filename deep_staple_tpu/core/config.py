@@ -111,6 +111,10 @@ class TrainConfig:
     # format (readable by the reference consensus notebook + fixed-weight
     # reload) next to the native .npz snapshot.
     export_pth_snapshot: bool = False
+    # 'msgpack' (single flax msgpack file) or 'orbax' (Orbax standard
+    # checkpoint directory — sharding-aware, readable by orbax tooling).
+    # Restore auto-detects whichever is on disk (train/checkpoint.py).
+    checkpoint_backend: str = "msgpack"
     compute_dtype: str = "float32"  # 'bfloat16' recommended on TPU
     # 'reference': interpolate-then-warp (reference-exact order);
     # 'fast': warp at base resolution then resize — same augmentation
@@ -118,8 +122,12 @@ class TrainConfig:
     # image warp's x-corner pairs into one gather word (4 gathers instead of
     # 8, ~0.4% voxel rounding << the pipeline's own noise);
     # '{fast,reference}-int8': quad-pack the whole 2x2 in-plane corner
-    # footprint (2 gathers, ~1%-of-absmax quantization, still below the
-    # pipeline's own additive noise). See ops/augment.py.
+    # footprint (2 image gathers + 1 label gather, ~1%-of-absmax
+    # quantization, still below the pipeline's own additive noise);
+    # '{fast,reference}-int6': ONE fused warp for image AND both labels
+    # (2 gathers total; int6 image quad + 2-bit label codes share each
+    # 32-bit word, quantization variance carved out of the noise budget;
+    # binary labels only). See ops/augment.py.
     augment_order: str = "reference"
     use_checkpointing: bool = True
     # Device mesh for the production driver (train_dl): batches are sharded

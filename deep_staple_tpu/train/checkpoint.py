@@ -3,8 +3,17 @@
 The reference writes seven separate state_dict files per checkpoint
 (`utils/torch_utils.py:354-360`) and reloads them through `get_model`
 (`main_deep_staple.py:435-462`, save-every-200 + reload cycle :856-873).
-Here the single `DeepStapleState` pytree serializes atomically via flax
-msgpack; config is stored alongside as JSON.
+Here the single `DeepStapleState` pytree serializes atomically; config is
+stored alongside as JSON. Two backends:
+
+  * 'msgpack' (default) — flax msgpack bytes, one file, dependency-light.
+  * 'orbax'  — Orbax `StandardCheckpointHandler` directory (the idiomatic
+    large-scale JAX checkpoint format: per-array storage, sharding-aware,
+    readable by any orbax-based tooling). Select with
+    `TrainConfig.checkpoint_backend='orbax'`.
+
+Restore auto-detects whichever backend is on disk, so checkpoints stay
+readable when the configured backend changes between runs.
 """
 
 from __future__ import annotations
@@ -18,19 +27,45 @@ from ..core.config import TrainConfig
 from .state import DeepStapleState
 
 
-def save_checkpoint(path, state: DeepStapleState, config: TrainConfig | None = None):
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    # Sync Checkpointer (not the async StandardCheckpointer wrapper): the
+    # driver's save-every-N cycle immediately reloads (reference :856-873),
+    # so the write must be committed on return.
+    return ocp, ocp.Checkpointer(ocp.StandardCheckpointHandler())
+
+
+def save_checkpoint(path, state: DeepStapleState, config: TrainConfig | None = None,
+                    backend: str = "msgpack"):
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    (path / "state.msgpack").write_bytes(serialization.to_bytes(state))
+    if backend == "msgpack":
+        (path / "state.msgpack").write_bytes(serialization.to_bytes(state))
+    elif backend == "orbax":
+        ocp, ckptr = _orbax_checkpointer()
+        target = (path / "state.orbax").resolve()
+        if target.exists():
+            import shutil
+
+            shutil.rmtree(target)
+        ckptr.save(target, args=ocp.args.StandardSave(state))
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     if config is not None:
         (path / "config.json").write_text(json.dumps(config.to_dict(), indent=2, default=str))
 
 
 def restore_checkpoint(path, template_state: DeepStapleState) -> DeepStapleState:
     path = Path(path)
+    if (path / "state.orbax").is_dir():
+        ocp, ckptr = _orbax_checkpointer()
+        return ckptr.restore(
+            (path / "state.orbax").resolve(), args=ocp.args.StandardRestore(template_state)
+        )
     data = (path / "state.msgpack").read_bytes()
     return serialization.from_bytes(template_state, data)
 
 
 def checkpoint_exists(path) -> bool:
-    return (Path(path) / "state.msgpack").is_file()
+    return (Path(path) / "state.msgpack").is_file() or (Path(path) / "state.orbax").is_dir()

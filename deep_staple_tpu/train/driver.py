@@ -423,7 +423,7 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
 
             if is_main and ((epx % config.save_every == 0) or (epx + 1 == config.epochs)):
                 _path = Path(config.mdl_save_prefix) / f"{run_name}_fold{fold_idx}_epx{epx}"
-                save_checkpoint(_path, state, config)
+                save_checkpoint(_path, state, config, backend=config.checkpoint_backend)
 
             # --- validation (reference :876-955) ---
             dataset.eval()

@@ -57,3 +57,30 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jnp.concatenate([x.reshape(-1) for x in jax.tree.leaves(state.params)])
     b = jnp.concatenate([x.reshape(-1) for x in jax.tree.leaves(restored.params)])
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Orbax backend roundtrip + auto-detection on restore (checkpoint.py)."""
+    model = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False)
+    state, _ = create_state(model, (1, 16, 16, 10, 1), dataset_len=5)
+    state = state.replace(
+        dp_params=jnp.arange(5, dtype=jnp.float32), step=jnp.asarray(7, jnp.int32)
+    )
+    p = tmp_path / "ckpt_orbax"
+    save_checkpoint(p, state, TrainConfig(epochs=3), backend="orbax")
+    assert checkpoint_exists(p)
+    assert (p / "state.orbax").is_dir() and not (p / "state.msgpack").exists()
+
+    fresh, _ = create_state(model, (1, 16, 16, 10, 1), dataset_len=5)
+    restored = restore_checkpoint(p, fresh)  # auto-detects orbax
+    np.testing.assert_array_equal(np.asarray(restored.dp_params), np.arange(5, dtype=np.float32))
+    assert int(restored.step) == 7
+    import jax
+
+    a = jnp.concatenate([x.reshape(-1) for x in jax.tree.leaves(state.params)])
+    b = jnp.concatenate([x.reshape(-1) for x in jax.tree.leaves(restored.params)])
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # overwrite-in-place works (save-every-N reuses the same directory)
+    save_checkpoint(p, state.replace(step=jnp.asarray(9, jnp.int32)), backend="orbax")
+    assert int(restore_checkpoint(p, fresh).step) == 9

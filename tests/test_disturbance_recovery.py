@@ -23,14 +23,15 @@ def test_ratio_metric():
 # synthetic blobs. (FLIP_ROLL transposes+rolls with wraparound, which on
 # near-symmetric synthetic ellipsoids can be close to an identity map and
 # gives no per-sample CE signal to detect.)
-# The second/third cases gate the flagship perf configs: the bf16-pair-packed
-# and int8-quad-packed fast augment orders must preserve the paper's core
-# effect (disturbed samples sinking to low DP) — the quality proof behind the
-# production preset bench headline.
+# The non-reference cases gate the flagship perf configs: the bf16-pair-packed,
+# int8-quad-packed, and fused-int6 fast augment orders must preserve the
+# paper's core effect (disturbed samples sinking to low DP) — the quality
+# proof behind the production preset bench headline.
 @pytest.mark.parametrize("mode,augment_order", [
     (LabelDisturbanceMode.AFFINE, "reference"),
     (LabelDisturbanceMode.AFFINE, "fast-bf16"),
     (LabelDisturbanceMode.AFFINE, "fast-int8"),
+    (LabelDisturbanceMode.AFFINE, "fast-int6"),
 ])
 def test_disturbed_samples_sink_to_low_dp(tmp_path, mode, augment_order):
     # clean dataset (no atlas override) so the disturbance engine is allowed
