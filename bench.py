@@ -9,10 +9,11 @@ pass, and the SparseAdam DP update all included — everything the reference
 does per batch.
 
 The headline runs the framework's PRODUCTION configuration
-(`TrainConfig.tpu_production()`: fused OOL schedule, base-resolution
-int8-quad-packed image warp, bfloat16 compute, no remat — same training
-mathematics and augmentation distribution, restructured for the TPU; the
-DP-recovery oracles pass under it, tests/test_disturbance_recovery.py). The
+(`TrainConfig.tpu_production()`: fused OOL schedule, base-resolution fused
+int6 warp (image + both labels in 2 gathers), bfloat16 compute, no remat —
+same training mathematics and augmentation distribution, restructured for the
+TPU; the DP-recovery oracles pass under it,
+tests/test_disturbance_recovery.py). The
 reference-exact strict/fp32-gather parity mode is measured and printed to
 stderr as well, so both numbers are always on record.
 
@@ -209,22 +210,24 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     # HEADLINE: the production preset (TrainConfig.tpu_production — fused OOL,
-    # fast-int8 augment order, bf16 compute, no remat). Remat stays off: it is
-    # the reference's GPU-memory workaround (MobileNet_LR_ASPP_3D.py:206-222),
-    # semantically a no-op; at these shapes activations fit v5e HBM and the
-    # extra forward costs ~240ms/step (profiler-attributed).
+    # fast-int6 augment order: image + both labels in ONE 2-gather fused warp,
+    # bf16 compute, no remat). Remat stays off: it is the reference's
+    # GPU-memory workaround (MobileNet_LR_ASPP_3D.py:206-222), semantically a
+    # no-op; at these shapes activations fit v5e HBM and the extra forward
+    # costs ~240ms/step (profiler-attributed).
     sec_tpu = measure_tpu_train_step(
-        args.steps, args.dtype, ool_mode="fused", augment_order="fast-int8",
+        args.steps, args.dtype, ool_mode="fused", augment_order="fast-int6",
         use_checkpointing=False,
     )
     try:
-        # previous production order (bf16-pair-packed image warp, 4 gathers)
+        # previous production order (int8 quad-packed image warp + separate
+        # label gather; also what non-binary datasets auto-downgrade to)
         measure_tpu_train_step(
-            args.steps, args.dtype, ool_mode="fused", augment_order="fast-bf16",
+            args.steps, args.dtype, ool_mode="fused", augment_order="fast-int8",
             use_checkpointing=False,
         )
     except Exception as e:
-        _eprint(f"fast-bf16 bench skipped: {e}")
+        _eprint(f"fast-int8 bench skipped: {e}")
     # secondary numbers (stderr): reference-exact parity mode, consensus, STAPLE
     try:
         # reference-exact parity mode: strict OOL second forward, reference

@@ -172,16 +172,19 @@ class TrainConfig:
           * ool_mode='fused': the DP loss consumes stop_gradient(logits) from
             the CE pass instead of a second forward — same DP gradient,
             evaluated at the pre-update params (one forward less).
-          * augment_order='fast-int8': warp at base resolution then
+          * augment_order='fast-int6': warp at base resolution then
             matmul-resize (same continuous warp field and augmentation
-            distribution, 3.4x fewer gathered voxels) with the full 2x2
-            in-plane corner quad of the trilinear image gather packed as four
-            int8 quanta in one 32-bit word — 2 image gathers instead of 8.
-            Quantization step ~1% of per-sample absmax, several times below
-            the augmentation pipeline's own additive Gaussian noise (strength
-            0.05, injected BEFORE packing, so it dithers the quantizer);
-            labels stay exact. 'fast-bf16' (~0.4% rounding, 4 gathers) and
-            the exact-f32 orders remain available.
+            distribution, 3.4x fewer gathered voxels) with image AND both
+            labels fused into ONE 2-gather warp — each 32-bit word carries
+            the 2x2 in-plane corner quad as four int6 image quanta plus the
+            same quad's 2-bit (label | modified<<1) codes. The int6
+            quantizer's variance is carved out of the pipeline's own
+            additive-noise budget (strength 0.05, injected BEFORE packing,
+            so total noise is unchanged and the noise dithers the
+            quantizer); labels stay exact. Binary labels only — the driver
+            auto-downgrades to 'fast-int8' (exact labels, 3 gathers) for
+            other class counts (train/step.py::resolve_augment_order);
+            'fast-bf16' and the exact-f32 orders remain available.
           * compute_dtype='bfloat16': MXU-native precision, f32 params.
           * use_checkpointing=False: remat is the reference's GPU-memory
             workaround; these activations fit v5e HBM.
@@ -194,7 +197,7 @@ class TrainConfig:
         """
         base = dict(
             ool_mode="fused",
-            augment_order="fast-int8",
+            augment_order="fast-int6",
             compute_dtype="bfloat16",
             use_checkpointing=False,
         )
@@ -270,7 +273,8 @@ def add_preset_arg(parser):
         "--preset", choices=("reference", "production"), default="reference",
         help="'reference' = reference-exact semantics (fp32, strict OOL, "
         "reference augment order, remat); 'production' = the recommended "
-        "TPU operating point (fused OOL, fast-int8 augment order, bfloat16, "
+        "TPU operating point (fused OOL, fast-int6 augment order — auto-"
+        "downgraded to fast-int8 for non-binary datasets — bfloat16, "
         "no remat — see TrainConfig.tpu_production). Explicit flags override "
         "the preset either way.",
     )

@@ -30,7 +30,7 @@ from .checkpoint import checkpoint_exists, restore_checkpoint, save_checkpoint
 from .optim import exp_lr, cosine_warm_restarts_lr
 from .snapshot import export_train_label_snapshot
 from .state import create_state
-from .step import make_eval_step, make_train_step
+from .step import make_eval_step, make_train_step, resolve_augment_order
 
 
 def dp_in_target_pos_ratio(dp_values, disturbed_idxs, target_pos: str = "min") -> float:
@@ -261,6 +261,13 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             state = replicate_state(state, mesh)
 
         pre_interp = dataset.pre_interpolation_factor
+        effective_order = resolve_augment_order(config.augment_order, num_classes)
+        if effective_order != config.augment_order:
+            print(
+                f"augment_order {config.augment_order!r} supports binary labels only; "
+                f"using {effective_order!r} ({num_classes} classes)"
+            )
+            config = config.replace(augment_order=effective_order)
         train_step = make_train_step(
             model, tx, config, class_weights, fixed_weighting, pre_interpolation_factor=pre_interp
         )

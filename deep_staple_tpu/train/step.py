@@ -69,6 +69,21 @@ def _forward(model, params, batch_stats, images, train: bool, dropout_rng=None,
     return out["out"], batch_stats
 
 
+def resolve_augment_order(order: str, num_classes: int) -> str:
+    """Effective augment order for a dataset's class count.
+
+    The '-int6' fused warp packs each label voxel as a 2-bit
+    (label | modified<<1) code inside the image gather word
+    (ops/augment.py::_warp_fused_int6pack) — it only represents binary
+    labels. For any other class count, downgrade to the matching '-int8'
+    order (same warp field and augmentation distribution, exact integer
+    labels, one extra gather). All other orders pass through unchanged.
+    """
+    if order.endswith("-int6") and num_classes != 2:
+        return order[: -len("-int6")] + "-int8"
+    return order
+
+
 def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighting,
                     augment_params: AugmentParams = AugmentParams(),
                     pre_interpolation_factor: float = 1.5,

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from deep_staple_tpu.core.config import TrainConfig, DataParamMode
 from deep_staple_tpu.train.driver import make_model
 from deep_staple_tpu.train.state import create_state
-from deep_staple_tpu.train.step import make_train_step
+from deep_staple_tpu.train.step import make_train_step, resolve_augment_order
 
 
 def _run_step(config, in_ch=1, base=(12, 12, 8), B=2, n=8):
@@ -70,6 +70,26 @@ def test_dp_disabled_mode():
     new_state, metrics = step(state, batch, 0.01, jax.random.PRNGKey(0))
     assert "dp_loss" not in metrics
     assert float(metrics["loss"]) == float(metrics["ce_loss"])
+
+
+def test_resolve_augment_order_int6_downgrade():
+    # '-int6' packs labels as 2-bit codes -> binary only; anything else
+    # downgrades to the matching '-int8' order (driver applies this before
+    # building the step, so `--preset production` works on any dataset).
+    assert resolve_augment_order("fast-int6", 2) == "fast-int6"
+    assert resolve_augment_order("fast-int6", 3) == "fast-int8"
+    assert resolve_augment_order("reference-int6", 5) == "reference-int8"
+    assert resolve_augment_order("fast-int8", 3) == "fast-int8"
+    assert resolve_augment_order("reference", 3) == "reference"
+    # production preset is int6; make_train_step itself still guards direct use
+    assert TrainConfig.tpu_production().augment_order == "fast-int6"
+    config = TrainConfig.tpu_production(use_checkpointing=False)
+    model, _ = make_model(config, 3)
+    state, tx = create_state(model, (1, 18, 18, 12, 1), 8)
+    cw = np.array([0.5, 1.0, 1.5], np.float32)
+    fw = np.full((8,), 5.0, np.float32)
+    with pytest.raises(ValueError, match="binary labels"):
+        make_train_step(model, tx, config, cw, fw, pre_interpolation_factor=1.5)
 
 
 def test_override_embedding_weights_freezes_dp():
