@@ -78,6 +78,63 @@ def test_data_parallel_step_matches_single_device(tiny_setup):
     assert np.all(dp1[:B] != 0) and np.all(dp8[:B] != 0)
 
 
+def test_data_parallel_production_preset_int6(tiny_setup):
+    """`--preset production --mesh_data_axis N` gate, two halves:
+
+    1. The fused int6 packed warp (bitwise pack/unpack + per-sample absmax
+       inside the jit) shards correctly over ('data',): f32 compute so the
+       sharded and unsharded graphs must agree tightly (the only intended
+       difference is reduction order).
+    2. The full bf16 production preset compiles and runs sharded; only
+       sanity-bounded (bf16's ~0.4% mantissa eps makes 8-way reduction
+       reorder differences of ~1-2% on the small dp_loss legitimate —
+       measured 1.8% — so tight equivalence belongs to the f32 half).
+    """
+    _, state, _, batch_np = tiny_setup
+    n = int(np.asarray(state.dp_params).shape[0])
+    cw = np.array([0.5, 1.5], np.float32)
+    fw = np.full((n,), 5.0, np.float32)
+    aug = tuple(int(s * 1.5) for s in batch_np["image"].shape[1:])
+    key = jax.random.PRNGKey(0)
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    mesh = make_mesh(data=8, space=1)
+    B = batch_np["image"].shape[0]
+
+    # --- half 1: int6 warp sharding equivalence (f32) ---
+    config = TrainConfig.tpu_production(use_checkpointing=False, compute_dtype="float32")
+    assert config.augment_order == "fast-int6"
+    model, _ = make_model(config, 2)
+    state_p, tx = create_state(model, (1,) + aug + (1,), n)
+    step = make_train_step(model, tx, config, cw, fw, pre_interpolation_factor=1.5)
+    _, m1 = step(state_p, batch1, 0.01, key)
+    with mesh:
+        state8 = replicate_state(state_p, mesh)
+        batch8 = shard_batch(batch_np, mesh)
+        s8, m8 = step(state8, batch8, 0.01, key)
+    np.testing.assert_allclose(
+        np.asarray(m1["ce_loss"]), np.asarray(m8["ce_loss"]), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m1["dp_loss"]), np.asarray(m8["dp_loss"]), rtol=2e-4, atol=1e-5
+    )
+    dp8 = np.asarray(s8.dp_params)
+    assert np.all(dp8[B:] == 0) and np.all(dp8[:B] != 0)
+
+    # --- half 2: full bf16 production preset runs sharded ---
+    config_bf16 = TrainConfig.tpu_production(use_checkpointing=False)
+    model_b, _ = make_model(config_bf16, 2)
+    state_b, tx_b = create_state(model_b, (1,) + aug + (1,), n)
+    step_b = make_train_step(model_b, tx_b, config_bf16, cw, fw, pre_interpolation_factor=1.5)
+    with mesh:
+        sb, mb = step_b(replicate_state(state_b, mesh), shard_batch(batch_np, mesh), 0.01, key)
+    assert np.isfinite(float(mb["loss"])) and np.isfinite(float(mb["dp_loss"]))
+    np.testing.assert_allclose(
+        float(mb["ce_loss"]), float(np.asarray(m1["ce_loss"])), rtol=3e-2
+    )
+    dpb = np.asarray(sb.dp_params)
+    assert np.all(dpb[B:] == 0) and np.all(dpb[:B] != 0)
+
+
 def test_spatially_sharded_inference_matches_unsharded():
     model = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 12))
