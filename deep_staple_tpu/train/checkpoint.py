@@ -42,6 +42,13 @@ def save_checkpoint(path, state: DeepStapleState, config: TrainConfig | None = N
     path.mkdir(parents=True, exist_ok=True)
     if backend == "msgpack":
         (path / "state.msgpack").write_bytes(serialization.to_bytes(state))
+        # Drop a stale orbax artifact from a previous run at the same path:
+        # restore_checkpoint prefers state.orbax, which would otherwise
+        # silently shadow the fresh msgpack state.
+        if (path / "state.orbax").is_dir():
+            import shutil
+
+            shutil.rmtree(path / "state.orbax")
     elif backend == "orbax":
         ocp, ckptr = _orbax_checkpointer()
         target = (path / "state.orbax").resolve()
@@ -50,6 +57,7 @@ def save_checkpoint(path, state: DeepStapleState, config: TrainConfig | None = N
 
             shutil.rmtree(target)
         ckptr.save(target, args=ocp.args.StandardSave(state))
+        (path / "state.msgpack").unlink(missing_ok=True)
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
     if config is not None:

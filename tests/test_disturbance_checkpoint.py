@@ -84,3 +84,9 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
     # overwrite-in-place works (save-every-N reuses the same directory)
     save_checkpoint(p, state.replace(step=jnp.asarray(9, jnp.int32)), backend="orbax")
     assert int(restore_checkpoint(p, fresh).step) == 9
+
+    # switching backends at the same path must not leave a stale artifact
+    # shadowing the fresh one (restore prefers state.orbax)
+    save_checkpoint(p, state.replace(step=jnp.asarray(11, jnp.int32)), backend="msgpack")
+    assert not (p / "state.orbax").exists()
+    assert int(restore_checkpoint(p, fresh).step) == 11
