@@ -202,12 +202,61 @@ def measure_staple(raters: int = 10, spatial=(256, 256, 100), iters: int = 50):
         )
 
 
+def _wait_for_healthy_tpu(attempts: int = 3, canary_timeout: int = 300,
+                          backoff: int = 600, settle: int = 180) -> None:
+    """Gate the benchmark on a tunnel-health canary.
+
+    The axon TPU tunnel has a documented wedge mode (CLAUDE.md): a client
+    launched too soon after a previous client's exit can hang forever before
+    device init, and the wedge persists on the remote side for tens of
+    minutes. Since this harness may be invoked unattended right after other
+    TPU processes were killed, probe the backend in a SUBPROCESS with a
+    timeout first; on a wedge, back off and retry instead of hanging the
+    whole benchmark. After a healthy canary, wait `settle` seconds so the
+    real run itself is not the too-soon next client.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np; "
+        "x = jnp.ones((128, 128)) + 1; "
+        "assert float(np.asarray(x).sum()) > 0; print('canary-ok')"
+    )
+    for attempt in range(attempts):
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], timeout=canary_timeout,
+                capture_output=True, text=True,
+            )
+            if proc.returncode == 0 and "canary-ok" in proc.stdout:
+                _eprint(f"tpu canary ok ({time.time()-t0:.0f}s); settling {settle}s")
+                time.sleep(settle)
+                return
+            _eprint(f"tpu canary rc={proc.returncode}: {proc.stderr.strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            _eprint(f"tpu canary timed out after {canary_timeout}s "
+                    f"(attempt {attempt + 1}/{attempts}) — tunnel likely wedged")
+        if attempt + 1 < attempts:
+            _eprint(f"backing off {backoff}s before the next canary")
+            time.sleep(backoff)
+    _eprint("proceeding without a healthy canary (last resort)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--skip-canary", action="store_true",
+                   help="skip the tunnel-health canary gate (interactive use)")
     args = p.parse_args(argv)
+
+    if not args.skip_canary:
+        _wait_for_healthy_tpu()
 
     # HEADLINE: the production preset (TrainConfig.tpu_production — fused OOL,
     # fast-int6 augment order: image + both labels in ONE 2-gather fused warp,

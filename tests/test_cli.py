@@ -164,3 +164,17 @@ def test_compile_cache_helper(monkeypatch, tmp_path):
         assert jax.config.jax_compilation_cache_dir == out
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_doctor_cli_cpu_environment():
+    """`python -m deep_staple_tpu.doctor` passes in the CPU test environment
+    and reports the key checks (doctor.py — device probes run in
+    subprocesses with timeouts so a dead accelerator tunnel cannot hang it)."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "deep_staple_tpu.doctor", "--timeout", "120"],
+        env=_clean_env(), cwd=REPO, capture_output=True, text=True, timeout=480,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr[-2000:]
+    for needle in ("jax / jaxlib", "accelerator backend", "8-device virtual mesh",
+                   "all checks passed"):
+        assert needle in proc.stdout, proc.stdout
