@@ -178,3 +178,39 @@ def test_doctor_cli_cpu_environment():
     for needle in ("jax / jaxlib", "accelerator backend", "8-device virtual mesh",
                    "all checks passed"):
         assert needle in proc.stdout, proc.stdout
+
+
+def test_bench_canary_gate_backoff(monkeypatch):
+    """bench._wait_for_healthy_tpu: immediate no-op on CPU; on a wedged
+    tunnel (simulated TimeoutExpired) it backs off and retries, then settles
+    after a healthy canary."""
+    import bench
+
+    # CPU env -> no-op, no subprocess
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    calls = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: calls.append(("sleep", s)))
+    bench._wait_for_healthy_tpu()
+    assert calls == []
+
+    # wedge then recovery: first canary times out, second succeeds
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    attempts = []
+
+    class FakeProc:
+        returncode = 0
+        stdout = "canary-ok\n"
+        stderr = ""
+
+    def fake_run(cmd, timeout=None, capture_output=None, text=None):
+        attempts.append(timeout)
+        if len(attempts) == 1:
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return FakeProc()
+
+    import subprocess as _sp
+    monkeypatch.setattr(_sp, "run", fake_run)  # bench imports subprocess lazily
+    bench._wait_for_healthy_tpu(attempts=3, canary_timeout=7, backoff=11, settle=13)
+    assert attempts == [7, 7]            # retried exactly once after the wedge
+    assert ("sleep", 11) in calls        # backed off between attempts
+    assert calls[-1] == ("sleep", 13)    # settled after the healthy canary
