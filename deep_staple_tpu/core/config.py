@@ -90,6 +90,13 @@ class TrainConfig:
     checkpoint_name: Optional[str] = None
     fold_override: Optional[int] = None
     checkpoint_epx: Optional[int] = None
+    # Crash/preemption recovery: when no explicit checkpoint_epx is given,
+    # restore the NEWEST saved checkpoint of this run/fold (whatever epoch it
+    # reached) and continue at the epoch after it. Re-running the identical
+    # command after an interruption picks up where it stopped; a completed
+    # run becomes a no-op re-export. The reference's resume needs the epoch
+    # spelled out by hand (`main_deep_staple.py:122-125`).
+    auto_resume: bool = False
 
     do_plot: bool = False
     save_dp_figures: bool = False

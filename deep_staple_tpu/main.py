@@ -134,10 +134,14 @@ def main(argv=None):
     # allow_abbrev=False: abbreviated flags would evade apply_preset's
     # explicit-flag detection (token match) and get silently clobbered.
     parser = argparse.ArgumentParser(description="DeepSTAPLE-TPU training", allow_abbrev=False)
+    parser.add_argument("--run-name", default=None,
+                        help="stable run name (default: run-<timestamp>); required for "
+                        "--auto-resume to find this run's checkpoints across invocations")
     add_preset_arg(parser)
     add_cli_args(parser)
     args = parser.parse_args(argv)
     overrides = vars(args).copy()
+    run_name = overrides.pop("run_name")
     preset = overrides.pop("preset")
     import sys
 
@@ -149,7 +153,7 @@ def main(argv=None):
         if config.wandb_mode != "disabled":
             return wandb_sweep_run(config)
         return sweep_run(config)
-    return normal_run(config)
+    return normal_run(config, run_name)
 
 
 if __name__ == "__main__":

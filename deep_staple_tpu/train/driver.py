@@ -254,6 +254,24 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
         epx_start = config.checkpoint_epx or 0
         ckpt_name = config.checkpoint_name or run_name
         ckpt_path = Path(config.mdl_save_prefix) / f"{ckpt_name}_fold{fold_idx}_epx{epx_start}"
+        if config.auto_resume and config.checkpoint_epx is None:
+            # Crash recovery: restore the newest checkpoint this run/fold
+            # reached and continue AFTER it (checkpoints are written at the
+            # end of their epoch). Explicit checkpoint_epx keeps the
+            # reference's re-run-that-epoch semantics.
+            import re as _re
+
+            pat = _re.compile(rf"^{_re.escape(ckpt_name)}_fold{fold_idx}_epx(\d+)$")
+            newest = -1
+            for d in Path(config.mdl_save_prefix).glob(f"{ckpt_name}_fold{fold_idx}_epx*"):
+                m = pat.match(d.name)
+                if m and checkpoint_exists(d):
+                    newest = max(newest, int(m.group(1)))
+            if newest >= 0:
+                ckpt_path = Path(config.mdl_save_prefix) / f"{ckpt_name}_fold{fold_idx}_epx{newest}"
+                epx_start = newest + 1
+                print(f"Auto-resume: newest checkpoint {ckpt_path}, continuing at epoch {epx_start}")
+        epx = max(epx_start - 1, 0)  # snapshot dir name if the loop is empty
         if checkpoint_exists(ckpt_path):
             print(f"Restoring checkpoint from {ckpt_path}")
             state = restore_checkpoint(ckpt_path, state)
