@@ -58,7 +58,15 @@ def load_serving_state(checkpoint_dir, size=(128, 128, 128)):
 
     checkpoint_dir = Path(checkpoint_dir)
     config = TrainConfig.from_dict(json.loads((checkpoint_dir / "config.json").read_text()))
-    raw = serialization.msgpack_restore((checkpoint_dir / "state.msgpack").read_bytes())
+    if (checkpoint_dir / "state.orbax").is_dir():
+        # Orbax backend: a template-free restore yields the raw pytree, from
+        # which the DP length is read just like the msgpack path.
+        import orbax.checkpoint as ocp
+
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+            raw = ckptr.restore((checkpoint_dir / "state.orbax").resolve())
+    else:
+        raw = serialization.msgpack_restore((checkpoint_dir / "state.msgpack").read_bytes())
     dataset_len = int(np.asarray(raw["dp_params"]).reshape(-1).shape[0])
 
     num_classes = 2

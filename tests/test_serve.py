@@ -89,3 +89,29 @@ def test_serve_from_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.diag(seg.affine)[:3], [1.0 * 15 / 12, 2.0 * 14 / 12, 3.0 * 13 / 12]
     )
+
+
+def test_load_serving_state_from_orbax_checkpoint(tmp_path):
+    """serve.load_serving_state bootstraps from an Orbax-backend checkpoint:
+    the DP length is recovered template-free from the orbax tree (serve.py),
+    then the full state restores through the auto-detecting path."""
+    import jax.numpy as jnp
+
+    from deep_staple_tpu.models import MobileNetLRASPP3D
+    from deep_staple_tpu.serve import load_serving_state
+    from deep_staple_tpu.train.checkpoint import save_checkpoint
+    from deep_staple_tpu.train.state import create_state
+
+    size = (12, 12, 12)
+    model = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False)
+    state, _ = create_state(model, (1, *size, 1), dataset_len=7)
+    state = state.replace(dp_params=jnp.arange(7, dtype=jnp.float32))
+    cfg = TrainConfig(crop_3d_w_dim_range=None, use_checkpointing=False)
+    p = tmp_path / "ckpt"
+    save_checkpoint(p, state, cfg, backend="orbax")
+
+    _, _, restored, num_classes = load_serving_state(p, size=size)
+    assert num_classes == 2
+    np.testing.assert_array_equal(
+        np.asarray(restored.dp_params), np.arange(7, dtype=np.float32)
+    )
