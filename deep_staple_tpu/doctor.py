@@ -104,11 +104,13 @@ def check_versions() -> bool:
 def check_accelerator(timeout: int) -> bool:
     code = (
         "import jax; ds = jax.devices(); "
-        "print(jax.default_backend(), len(ds), ds[0].platform)"
+        "print('ACCEL', jax.default_backend(), len(ds))"
     )
     status, out = _subprocess_probe(code, timeout)
     if status == "ok":
-        backend, n, plat = (out.splitlines() or ["? ? ?"])[-1].split()[:3]
+        # tagged line: plugin sitecustomize modules print warnings around it
+        tagged = [l for l in out.splitlines() if l.startswith("ACCEL ")]
+        _, backend, n = (tagged[-1].split() + ["?", "?"])[:3] if tagged else ("", "?", "?")
         return _report("accelerator backend", OK, f"{backend}, {n} device(s)")
     if status == "timeout":
         return _report(
