@@ -330,3 +330,40 @@ def test_train_dl_rejects_indivisible_multihost_mesh(monkeypatch):
         driver_mod.train_dl(
             "mh-reject", TrainConfig(mesh_data_axis=8, epochs=1), dataset=None
         )
+
+
+def test_spatially_sharded_int6_production_warp(tiny_setup):
+    """`--preset production --mesh-space-axis M`: the fused int6 packed warp
+    (global flattened-index gathers over the packed image+label volume) must
+    stay correct when the volume H axis is sharded over ('space',) — GSPMD
+    gathers from a sharded operand. f32 compute so the only intended
+    difference vs unsharded is reduction order."""
+    _, state, _, batch_np = tiny_setup
+    n = int(np.asarray(state.dp_params).shape[0])
+    cw = np.array([0.5, 1.5], np.float32)
+    fw = np.full((n,), 5.0, np.float32)
+    aug = tuple(int(s * 1.5) for s in batch_np["image"].shape[1:])
+    key = jax.random.PRNGKey(3)
+
+    config = TrainConfig.tpu_production(use_checkpointing=False, compute_dtype="float32")
+    assert config.augment_order == "fast-int6"
+    model, _ = make_model(config, 2)
+    state_p, tx = create_state(model, (1,) + aug + (1,), n)
+    step = make_train_step(model, tx, config, cw, fw, pre_interpolation_factor=1.5)
+
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    _, m1 = step(state_p, batch1, 0.01, key)
+
+    mesh = make_mesh(data=2, space=4)
+    with mesh:
+        state_s = replicate_state(state_p, mesh)
+        batch_s = shard_batch(batch_np, mesh, spatial_axis=True)
+        s_s, ms = step(state_s, batch_s, 0.01, key)
+
+    for k in ("ce_loss", "dp_loss"):
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(ms[k]), rtol=5e-4, atol=1e-5
+        )
+    dp = np.asarray(s_s.dp_params)
+    B = batch_np["image"].shape[0]
+    assert np.all(dp[:B] != 0) and np.all(dp[B:] == 0)
