@@ -25,7 +25,6 @@ automatically (XLA inserts the collectives).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
