@@ -30,7 +30,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -246,6 +248,75 @@ def _wait_for_healthy_tpu(attempts: int = 3, canary_timeout: int = 300,
     _eprint("proceeding without a healthy canary (last resort)")
 
 
+# Single-shot emitter for THE one JSON line. The watchdog and the normal
+# end-of-main path race only when the tunnel dies mid-run; whoever gets here
+# first wins and the line is printed exactly once.
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+_HEADLINE_SEC: list[float] = []  # filled once the headline measurement lands
+
+
+def _emit(value: float, vs, error: str | None = None):
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    line = {
+        "metric": "train_steps_per_sec_3d_b8_192x192x75",
+        "value": round(value, 4),
+        "unit": "steps/s",
+        "vs_baseline": (round(vs, 2) if vs is not None and vs == vs else None),
+    }
+    if error:
+        line["error"] = error
+    print(json.dumps(line), flush=True)
+
+
+def _cached_vs_baseline(sec_tpu: float):
+    """vs_baseline from the cached torch measurement only (never measures)."""
+    try:
+        cached = json.loads(BASELINE_CACHE.read_text())
+        if cached.get("batch") == BATCH and tuple(cached.get("spatial", ())) == AUG_SPATIAL:
+            return float(cached["sec_per_step"]) / sec_tpu
+    except Exception:
+        pass
+    return None
+
+
+def _start_watchdog(deadline: float):
+    """Guarantee bench terminates and prints its JSON line within `deadline`s.
+
+    A dead (not merely wedged) axon tunnel hangs device transfers FOREVER —
+    the canary gate above retries with backoff, but if the tunnel never comes
+    back the unattended benchmark would otherwise block inside the first
+    host read and the driver records nothing at all. On expiry: if the
+    headline measurement already landed, print the REAL number (a later
+    secondary metric was what hung); otherwise print an explicit
+    tpu-unreachable error line and exit nonzero.
+    """
+    t0 = time.time()
+
+    def fire():
+        time.sleep(max(0.0, deadline - (time.time() - t0)))
+        with _EMIT_LOCK:
+            done = _EMITTED
+        if done:
+            return
+        _eprint(f"bench watchdog: {deadline:.0f}s deadline hit — TPU tunnel "
+                "unreachable or a measurement hung (diagnose with "
+                "`python -m deep_staple_tpu.doctor`)")
+        if _HEADLINE_SEC:
+            sec = _HEADLINE_SEC[0]
+            _emit(1.0 / sec, _cached_vs_baseline(sec), error="watchdog_after_headline")
+            os._exit(0)
+            return  # only reached when _exit is stubbed in tests
+        _emit(0.0, None, error="tpu_unreachable_deadline")
+        os._exit(1)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10)
@@ -253,8 +324,14 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--skip-canary", action="store_true",
                    help="skip the tunnel-health canary gate (interactive use)")
+    p.add_argument("--deadline", type=float,
+                   default=float(os.environ.get("BENCH_DEADLINE_S", 4800)),
+                   help="hard wall-clock bound (s): bench always prints its JSON "
+                   "line and exits by then, even over a dead TPU tunnel; <=0 disables")
     args = p.parse_args(argv)
 
+    if args.deadline > 0:
+        _start_watchdog(args.deadline)
     if not args.skip_canary:
         _wait_for_healthy_tpu()
 
@@ -268,6 +345,7 @@ def main(argv=None):
         args.steps, args.dtype, ool_mode="fused", augment_order="fast-int6",
         use_checkpointing=False,
     )
+    _HEADLINE_SEC.append(sec_tpu)
     try:
         # previous production order (int8 quad-packed image warp + separate
         # label gather; also what non-binary datasets auto-downgrade to)
@@ -303,7 +381,7 @@ def main(argv=None):
 
     value = 1.0 / sec_tpu
     if args.skip_baseline:
-        vs = float("nan")
+        vs = None
     else:
         try:
             sec_ref = measure_torch_baseline()
@@ -311,18 +389,9 @@ def main(argv=None):
             vs = sec_ref / sec_tpu
         except Exception as e:
             _eprint(f"baseline measurement failed: {e}")
-            vs = float("nan")
+            vs = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_steps_per_sec_3d_b8_192x192x75",
-                "value": round(value, 4),
-                "unit": "steps/s",
-                "vs_baseline": (round(vs, 2) if vs == vs else None),
-            }
-        )
-    )
+    _emit(value, vs)
 
 
 if __name__ == "__main__":

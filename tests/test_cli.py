@@ -214,3 +214,55 @@ def test_bench_canary_gate_backoff(monkeypatch):
     assert attempts == [7, 7]            # retried exactly once after the wedge
     assert ("sleep", 11) in calls        # backed off between attempts
     assert calls[-1] == ("sleep", 13)    # settled after the healthy canary
+
+
+def _wait_until(pred, timeout=10.0):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.02)
+    return pred()
+
+
+def test_bench_watchdog_bounds_a_dead_tunnel(monkeypatch, capsys):
+    """bench._start_watchdog: on a dead tunnel (nothing measured by the
+    deadline) it prints THE one JSON line with an explicit error and exits
+    nonzero; if the headline already landed, the real number survives."""
+    import json as _json
+
+    import bench
+
+    exited = []
+    monkeypatch.setattr(bench.os, "_exit", lambda rc: exited.append(rc))
+
+    # nothing measured -> explicit tpu-unreachable line, rc 1
+    bench._EMITTED = False
+    bench._HEADLINE_SEC.clear()
+    bench._start_watchdog(0.05)
+    assert _wait_until(lambda: exited)
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["error"] == "tpu_unreachable_deadline"
+    assert line["value"] == 0.0 and line["vs_baseline"] is None
+    assert exited == [1]
+
+    # headline landed, a SECONDARY metric hung -> real number, rc 0
+    bench._EMITTED = False
+    bench._HEADLINE_SEC.append(0.5)
+    bench._start_watchdog(0.05)
+    assert _wait_until(lambda: len(exited) >= 2)
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 2.0 and line["error"] == "watchdog_after_headline"
+    assert exited[1] == 0
+
+    # a line already emitted -> watchdog is a no-op (no double print/exit)
+    n = len(exited)
+    bench._start_watchdog(0.05)
+    import time as _time
+
+    _time.sleep(0.3)
+    assert capsys.readouterr().out == "" and len(exited) == n
+    bench._EMITTED = False
+    bench._HEADLINE_SEC.clear()
