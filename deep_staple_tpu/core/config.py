@@ -139,10 +139,14 @@ class TrainConfig:
     use_checkpointing: bool = True
     # Device mesh for the production driver (train_dl): batches are sharded
     # over ('data',) and optionally the volume H axis over ('space',); state
-    # is replicated. 1x1 = single chip. Batches whose size does not divide
-    # mesh_data_axis are truncated to the largest multiple (and skipped if 0).
+    # is replicated — unless mesh_model_axis > 1, in which case the conv
+    # channels are tensor-parallel-sharded over ('model',) and the optimizer
+    # runs sharded too (parallel/tensor.py). 1x1x1 = single chip. Batches
+    # whose size does not divide mesh_data_axis are truncated to the largest
+    # multiple (and skipped if 0).
     mesh_data_axis: int = 1  # data-parallel shards
     mesh_space_axis: int = 1  # spatial (volume H) shards for whole-volume work
+    mesh_model_axis: int = 1  # tensor-parallel shards (conv channel sharding)
     # Note: under GSPMD jit, BatchNorm batch statistics are computed over the
     # GLOBAL batch automatically (a mean over the sharded batch axis), i.e.
     # sync-BN is inherent — stronger than the reference's per-device BN.

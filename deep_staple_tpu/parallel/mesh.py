@@ -10,6 +10,7 @@ Axes:
   data  — data parallelism (batch axis).
   space — spatial sharding of the volume H axis (dim 2 of B,D,H,W) for whole-volume work
           (halo-exchanged convs; see parallel/spatial.py).
+  model — tensor parallelism (conv channel sharding; see parallel/tensor.py).
 """
 
 from __future__ import annotations
@@ -21,12 +22,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: Optional[int] = None, space: int = 1, devices=None) -> Mesh:
+def make_mesh(data: Optional[int] = None, space: int = 1, model: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if data is None:
-        data = len(devices) // space
-    devs = np.asarray(devices[: data * space]).reshape(data, space)
-    return Mesh(devs, axis_names=("data", "space"))
+        data = len(devices) // (space * model)
+    devs = np.asarray(devices[: data * space * model]).reshape(data, space, model)
+    return Mesh(devs, axis_names=("data", "space", "model"))
 
 
 def batch_sharding(mesh: Mesh, spatial_axis: bool = False) -> NamedSharding:

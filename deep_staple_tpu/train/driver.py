@@ -239,15 +239,25 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
         # inserts the collectives (grad psum, global-batch BN stats, DP
         # scatter-add) from the input shardings.
         mesh = None
-        if config.mesh_data_axis > 1 or config.mesh_space_axis > 1:
+        if (config.mesh_data_axis > 1 or config.mesh_space_axis > 1
+                or config.mesh_model_axis > 1):
             from ..parallel.mesh import make_mesh, replicate_state, shard_batch
             from ..parallel.multihost import (
                 host_shard_indices, local_batch_to_global, replicate_to_mesh,
             )
 
-            mesh = make_mesh(data=config.mesh_data_axis, space=config.mesh_space_axis)
+            if config.mesh_model_axis > 1 and nproc > 1:
+                raise ValueError(
+                    "mesh_model_axis > 1 is single-process only (tensor-parallel "
+                    "state sharding uses device_put onto addressable devices)"
+                )
+            mesh = make_mesh(
+                data=config.mesh_data_axis, space=config.mesh_space_axis,
+                model=config.mesh_model_axis,
+            )
             print(
                 f"Device mesh: data={config.mesh_data_axis} space={config.mesh_space_axis}"
+                f" model={config.mesh_model_axis}"
                 + (f" over {nproc} hosts" if nproc > 1 else "")
             )
 
@@ -276,7 +286,14 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             print(f"Restoring checkpoint from {ckpt_path}")
             state = restore_checkpoint(ckpt_path, state)
         if mesh is not None:
-            state = replicate_state(state, mesh)
+            if config.mesh_model_axis > 1:
+                # Tensor parallelism: conv channels sharded over ('model',);
+                # batch/spatial shardings compose with it on the other axes.
+                from ..parallel.tensor import shard_tp
+
+                state = shard_tp(state, mesh)
+            else:
+                state = replicate_state(state, mesh)
 
         pre_interp = dataset.pre_interpolation_factor
         effective_order = resolve_augment_order(config.augment_order, num_classes)
