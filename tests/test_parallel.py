@@ -271,6 +271,106 @@ def test_train_dl_tensor_parallel_matches_single_device(mesh_driver_runs):
     assert np.all(dptp[t] != 0)
 
 
+def test_pipeline_gpipe_matches_sequential_accumulation():
+    """Pipeline parallelism (parallel/pipeline.py): the 2-stage GPipe runner
+    — stage 0 (him+lom) on device 0, stage 1 (aspp+head+upsample) on device 1,
+    activation recomputation at the boundary — must equal the unsplit model:
+    stage composition reproduces the train-mode forward EXACTLY, and the
+    pipelined microbatch loss/grads equal sequential gradient accumulation.
+
+    Runs under float64 so the gate is tight (1e-6 norm-relative): in f32 the
+    two different jit fusion structures disagree by up to ~1e-2 on
+    near-cancelling BN-backward grads (pure rounding, verified against this
+    same f64 oracle), which would force a vacuously loose gate.
+    """
+    from deep_staple_tpu.parallel.pipeline import (
+        GPipe2, merge_variables, split_variables,
+    )
+
+    with jax.enable_x64():
+        model = MobileNetLRASPP3D(
+            num_classes=2, use_checkpointing=False, dropout_rate=0.5
+        )
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (4, 12, 12, 8, 1)
+        ).astype(jnp.float64)
+        labels = jax.random.randint(jax.random.PRNGKey(1), (4, 12, 12, 8), 0, 2)
+        variables = model.init({"params": jax.random.PRNGKey(2)}, x, train=False)
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            variables,
+        )
+
+        def ce(logits, lab):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            oh = jax.nn.one_hot(lab, 2, dtype=logits.dtype)
+            return -jnp.mean(jnp.sum(oh * logp, axis=-1))
+
+        pp = GPipe2(model, ce, in_spatial=x.shape[1:4])
+        n_micro, m = 2, 2
+        rng = jax.random.PRNGKey(3)
+        rngs = jax.random.split(rng, n_micro)
+        v0, v1 = pp.place_variables(variables)
+
+        # split/merge roundtrip + exact train-mode stage composition
+        s0, s1 = split_variables(variables)
+        assert merge_variables(s0, s1)["params"].keys() == variables["params"].keys()
+        (h, l), _ = pp.stage0.apply(
+            v0, jax.device_put(x[:m], pp.d0), True, mutable=["batch_stats"]
+        )
+        out_s, _ = pp.stage1.apply(
+            v1, jax.device_put(h, pp.d1), jax.device_put(l, pp.d1), True,
+            rngs={"dropout": rngs[0]}, mutable=["batch_stats"],
+        )
+        out_f, _ = model.apply(
+            variables, x[:m], train=True,
+            rngs={"dropout": rngs[0]}, mutable=["batch_stats"],
+        )
+        comp = np.max(np.abs(np.asarray(out_s["out"]) - np.asarray(out_f["out"])))
+        assert comp < 1e-12, f"stage composition diverged: {comp}"
+
+        # pipelined fwd+bwd vs sequential microbatch accumulation
+        loss_pp, (g0, g1), _ = pp.loss_and_grads(
+            v0, v1, np.asarray(x), np.asarray(labels), rng, n_micro
+        )
+
+        def loss_full(params, xi, li, key):
+            out, mut = model.apply(
+                {**variables, "params": params}, xi, train=True,
+                rngs={"dropout": key}, mutable=["batch_stats"],
+            )
+            return ce(out["out"], li), mut
+
+        tot_l, tot_g = 0.0, None
+        for i in range(n_micro):
+            (li_, _), gi = jax.value_and_grad(loss_full, has_aux=True)(
+                variables["params"], x[i * m:(i + 1) * m],
+                labels[i * m:(i + 1) * m], rngs[i],
+            )
+            tot_l += li_ / n_micro
+            gi = jax.tree_util.tree_map(lambda a: a / n_micro, gi)
+            tot_g = gi if tot_g is None else jax.tree_util.tree_map(
+                jnp.add, tot_g, gi
+            )
+
+        # The head's final upsample casts to f32 BY DESIGN (matching the
+        # model, lraspp3d.py:402), so the loss scalar itself is f32-precision
+        # even under x64; the grads below regain f64 agreement once the
+        # cotangents re-enter the f64 network.
+        np.testing.assert_allclose(loss_pp, float(tot_l), rtol=2e-5)
+        ref = dict(jax.tree_util.tree_flatten_with_path(tot_g)[0])
+        got = dict(jax.tree_util.tree_flatten_with_path({**g0, **g1})[0])
+        assert set(ref) == set(got)
+        for k, vref in ref.items():
+            a, b = np.asarray(got[k]), np.asarray(vref)
+            # norm-relative with a tiny atol: BN biases directly before the
+            # next normalization have mathematically-zero (~1e-17) grads.
+            assert np.max(np.abs(a - b)) <= 1e-9 + 1e-6 * np.max(np.abs(b)), (
+                jax.tree_util.keystr(k)
+            )
+
+
 def test_multihost_input_sharding_math_and_assembly():
     """Per-host input sharding: the host index blocks partition the global
     batch contiguously, and single-process assembly produces global arrays
