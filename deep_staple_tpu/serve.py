@@ -88,7 +88,7 @@ def preprocess(volume, config: TrainConfig, size=(128, 128, 128)):
 
 def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
           eval_scale: float = 2.0, output_space: str = "input",
-          size=(128, 128, 128), mesh_data: int = 1):
+          size=(128, 128, 128), mesh_data: int = 1, mesh_space: int = 1):
     size = tuple(size)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -99,17 +99,21 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
     # the SAME jitted eval forward runs on every chip with its batch rows
     # (GSPMD inserts nothing model-side: the eval forward has no cross-row
     # ops except the BN running stats, which are frozen constants here).
+    # --mesh-space additionally shards each volume's H axis over ('space',)
+    # (GSPMD inserts the conv halo exchanges) — whole-volume serving, the
+    # axis that matters at eval_scale 2.0 where a single volume is 8x the
+    # training activation footprint.
     mesh = None
-    if mesh_data > 1:
+    if mesh_data > 1 or mesh_space > 1:
         if batch_size % mesh_data:
             raise ValueError(
                 f"--batch-size {batch_size} must be divisible by --mesh-data {mesh_data}"
             )
         from .parallel.mesh import make_mesh, replicate_state, shard_batch as _shard
 
-        mesh = make_mesh(data=mesh_data, space=1)
+        mesh = make_mesh(data=mesh_data, space=mesh_space)
         state = replicate_state(state, mesh)
-        print(f"serving on a data={mesh_data} device mesh")
+        print(f"serving on a data={mesh_data} space={mesh_space} device mesh")
 
     # Streaming double-buffered pipeline: a loader thread reads + preprocesses
     # batch k+1 while the device executes batch k (JAX dispatch is async; the
@@ -152,7 +156,7 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
                 "label": jnp.zeros(batch_np.shape, jnp.int32),
             }
             if mesh is not None:
-                batch = _shard(batch, mesh)
+                batch = _shard(batch, mesh, spatial_axis=mesh_space > 1)
             pred, _ = eval_step(state, batch)
             pred_np = np.asarray(pred)[: len(chunk_metas)]  # host transfer = sync
             n_exec += 1
@@ -226,12 +230,16 @@ def main(argv=None):
                     help="canonical training volume size (L4 default)")
     ap.add_argument("--mesh-data", type=int, default=1,
                     help="shard each batch over this many devices (must divide --batch-size)")
+    ap.add_argument("--mesh-space", type=int, default=1,
+                    help="additionally shard each volume's H axis over this many devices "
+                         "(whole-volume serving; composes with --mesh-data)")
     args = ap.parse_args(argv)
     from .core.cache import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
     serve(args.checkpoint, args.inputs, args.output_dir, args.batch_size,
-          args.eval_scale, args.output_space, tuple(args.size), args.mesh_data)
+          args.eval_scale, args.output_space, tuple(args.size), args.mesh_data,
+          args.mesh_space)
 
 
 if __name__ == "__main__":

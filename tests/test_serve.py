@@ -75,6 +75,21 @@ def test_serve_from_checkpoint(tmp_path):
         b = load_nifti(out_dir_mesh / f"case{i}_seg.nii.gz").get_fdata()
         np.testing.assert_array_equal(a, b)
 
+    # Whole-volume serving: a 2D (data=2, space=2) mesh — batch rows over
+    # ('data',), each volume's H axis over ('space',) with GSPMD halo
+    # exchanges — must also be byte-identical.
+    out_dir_sp = tmp_path / "served_space"
+    serve_main([
+        "--checkpoint", str(ckpt), "--inputs", *inputs,
+        "--output-dir", str(out_dir_sp), "--batch-size", "2",
+        "--size", "12", "12", "12", "--eval-scale", "1.0",
+        "--mesh-data", "2", "--mesh-space", "2",
+    ])
+    for i in range(2):
+        a = load_nifti(out_dir / f"case{i}_seg.nii.gz").get_fdata()
+        b = load_nifti(out_dir_sp / f"case{i}_seg.nii.gz").get_fdata()
+        np.testing.assert_array_equal(a, b)
+
     # eval output space: volume stays on the model/eval grid and the affine
     # is rescaled so physical geometry is preserved
     out_dir2 = tmp_path / "served_eval"
