@@ -24,10 +24,13 @@ Backward runs GPipe-style with activation recomputation at the stage
 boundary: only stage inputs are stored; stage 1 computes loss + grads
 (w.r.t. its params AND its inputs) in one jit on device 1, the input
 cotangents transfer back, and stage 0's jitted backward recomputes its
-forward and applies the VJP on device 0. Per-microbatch gradients/losses/
-BN-stat updates are averaged — for equal-size microbatches this equals
-sequential gradient accumulation exactly (the gate in
-tests/test_parallel.py asserts it against the unsplit model).
+forward and applies the VJP on device 0. Per-microbatch gradients and
+losses are averaged — for equal-size microbatches this equals sequential
+gradient accumulation exactly (the gate in tests/test_parallel.py asserts
+it against the unsplit model). BN batch_stats are ALSO returned as the mean
+of the per-microbatch momentum updates; note this is parallel-accumulation
+semantics (every microbatch updates from the same initial stats), not the
+serially-threaded stats a sequential loop would produce.
 """
 
 from __future__ import annotations
@@ -205,10 +208,11 @@ class GPipe2:
         """Pipelined fwd+bwd over n_micro microbatches.
 
         Returns (loss, (g0, g1), (new_bs0, new_bs1)) — every quantity the
-        mean over microbatches, equal to sequential gradient accumulation.
-        The loop body only *dispatches*: stage-0 forwards of later
-        microbatches execute on device 0 while device 1 runs stage-1
-        fwd+bwd of earlier ones.
+        mean over microbatches; loss and grads equal sequential gradient
+        accumulation (batch_stats are parallel-accumulation means, see the
+        module docstring). The loop body only *dispatches*: stage-0
+        forwards of later microbatches execute on device 0 while device 1
+        runs stage-1 fwd+bwd of earlier ones.
         """
         B = x.shape[0]
         if B % n_micro:
@@ -223,6 +227,8 @@ class GPipe2:
         losses, g1s, bs1s, g0s, bs0s = [], [], [], [], []
         for i in range(n_micro):
             (high, low), _ = f0_out[i]
+            f0_out[i] = None  # release the boundary pair once transferred:
+            # device-0 residency stays O(1) microbatches, not O(n_micro)
             high1 = jax.device_put(high, self.d1)
             low1 = jax.device_put(low, self.d1)
             loss, g1, cot, mut1 = self.fwdbwd1(v1, high1, low1, ys[i], rngs[i])

@@ -90,6 +90,20 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
           eval_scale: float = 2.0, output_space: str = "input",
           size=(128, 128, 128), mesh_data: int = 1, mesh_space: int = 1):
     size = tuple(size)
+    if mesh_data > 1 or mesh_space > 1:
+        if batch_size % mesh_data:
+            raise ValueError(
+                f"--batch-size {batch_size} must be divisible by --mesh-data {mesh_data}"
+            )
+        if mesh_space > 1 and size[1] % mesh_space:
+            raise ValueError(
+                f"volume H axis {size[1]} must be divisible by --mesh-space {mesh_space}"
+            )
+        if mesh_data * mesh_space > len(jax.devices()):
+            raise ValueError(
+                f"--mesh-data {mesh_data} x --mesh-space {mesh_space} needs "
+                f"{mesh_data * mesh_space} devices, have {len(jax.devices())}"
+            )
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     model, config, state, num_classes = load_serving_state(checkpoint_dir, size)
@@ -105,10 +119,6 @@ def serve(checkpoint_dir, input_paths, output_dir, batch_size: int = 4,
     # training activation footprint.
     mesh = None
     if mesh_data > 1 or mesh_space > 1:
-        if batch_size % mesh_data:
-            raise ValueError(
-                f"--batch-size {batch_size} must be divisible by --mesh-data {mesh_data}"
-            )
         from .parallel.mesh import make_mesh, replicate_state, shard_batch as _shard
 
         mesh = make_mesh(data=mesh_data, space=mesh_space)

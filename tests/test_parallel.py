@@ -194,8 +194,11 @@ def test_spatially_sharded_train_step_matches_unsharded(tiny_setup):
 
 @pytest.fixture(scope="module")
 def mesh_driver_runs(tmp_path_factory):
-    """Two identical train_dl runs on the synthetic fixture: single-device vs
-    a data=8 mesh (config.mesh_data_axis — the production driver path)."""
+    """Three train_dl runs on the synthetic fixture: single-device, a data=8
+    mesh (config.mesh_data_axis), and a data=2 x model=4 tensor-parallel mesh
+    (config.mesh_model_axis) — all through the production driver path. Each
+    is a full multi-minute 1-epoch training; this fixture dominates the
+    module's wall-clock."""
     from deep_staple_tpu.data.synthetic import generate_synthetic_crossmoda
     from deep_staple_tpu.train.driver import train_dl
     from deep_staple_tpu.train.prepare import prepare_data
