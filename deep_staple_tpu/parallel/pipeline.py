@@ -246,3 +246,41 @@ class GPipe2:
             (mean(g0s), mean(g1s)),
             (mean(bs0s), mean(bs1s)),
         )
+
+    def init_optimizer(self, tx, v0, v1):
+        """Per-stage optimizer states, each resident on its stage's device.
+
+        Element-wise optax transforms (Adam/AdamW family) update each leaf
+        independently, so running the SAME tx per stage subtree is exactly
+        the update the unsplit model would take — no cross-stage coupling
+        exists to lose."""
+        self._tx = tx
+        self._upd = jax.jit(lambda g, s, p: tx.update(g, s, p))
+        self._apply = jax.jit(
+            lambda p, u: jax.tree_util.tree_map(lambda a, b: a + b, p, u)
+        )
+        return (
+            jax.device_put(tx.init(v0["params"]), self.d0),
+            jax.device_put(tx.init(v1["params"]), self.d1),
+        )
+
+    def train_step(self, v0, v1, opt0, opt1, x, labels, rng, n_micro: int):
+        """One pipelined training step: GPipe fwd/bwd then per-stage
+        optimizer updates, every piece of state staying on its stage device.
+
+        Returns (loss, new_v0, new_v1, new_opt0, new_opt1). Param updates
+        equal a sequential-accumulation step on the unsplit model (the
+        optimizer is element-wise); batch_stats adopt the
+        parallel-accumulation means (module docstring)."""
+        if not hasattr(self, "_tx"):
+            raise RuntimeError("call init_optimizer(tx, v0, v1) first")
+        loss, (g0, g1), (bs0, bs1) = self.loss_and_grads(
+            v0, v1, x, labels, rng, n_micro
+        )
+        u0, opt0 = self._upd(g0, opt0, v0["params"])
+        p0 = self._apply(v0["params"], u0)
+        u1, opt1 = self._upd(g1, opt1, v1["params"])
+        p1 = self._apply(v1["params"], u1)
+        new_v0 = {**v0, "params": p0, "batch_stats": bs0}
+        new_v1 = {**v1, "params": p1, "batch_stats": bs1}
+        return loss, new_v0, new_v1, opt0, opt1

@@ -373,6 +373,34 @@ def test_pipeline_gpipe_matches_sequential_accumulation():
                 jax.tree_util.keystr(k)
             )
 
+        # Full pipelined TRAIN step: per-stage AdamW updates resident on each
+        # stage's device must equal one AdamW step on the UNSPLIT param tree
+        # from the same (pipelined) grads — the claim is that the stage split
+        # cannot change an element-wise optimizer's update. (Grad equality vs
+        # sequential accumulation is the gate above; feeding tot_g here
+        # instead would re-test it through Adam's g/(sqrt(v)+eps), which
+        # amplifies ~1e-8 grad noise on small elements into ~1e-4 update
+        # differences and gates nothing new.)
+        import optax
+
+        tx = optax.adamw(0.01)
+        opt0, opt1 = pp.init_optimizer(tx, v0, v1)
+        _, nv0, nv1, _, _ = pp.train_step(
+            v0, v1, opt0, opt1, np.asarray(x), np.asarray(labels), rng, n_micro
+        )
+        g_merged = jax.device_get({**g0, **g1})
+        upd, _ = tx.update(g_merged, tx.init(variables["params"]), variables["params"])
+        want_p = jax.tree_util.tree_map(jnp.add, variables["params"], upd)
+        got_p = merge_variables(nv0, nv1)["params"]
+        wm = dict(jax.tree_util.tree_flatten_with_path(want_p)[0])
+        gm = dict(jax.tree_util.tree_flatten_with_path(got_p)[0])
+        assert set(wm) == set(gm)
+        for k in wm:
+            a, b = np.asarray(gm[k]), np.asarray(wm[k])
+            assert np.max(np.abs(a - b)) <= 1e-9 + 1e-6 * np.max(np.abs(b)), (
+                jax.tree_util.keystr(k)
+            )
+
 
 def test_multihost_input_sharding_math_and_assembly():
     """Per-host input sharding: the host index blocks partition the global
