@@ -50,11 +50,12 @@ def _eprint(*a):
 
 
 def _enable_compile_cache():
-    import jax
-
+    # Shared with every CLI entry point (core/cache.py resolves to the same
+    # repo-local .jax_cache), so a step compiled by the pipeline is warm here.
     try:
-        jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        from deep_staple_tpu.core.cache import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
     except Exception:
         pass
 

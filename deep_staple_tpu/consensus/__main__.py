@@ -33,15 +33,10 @@ def main(argv=None):
     print(f"wrote {args.output} ({len(cd)} fixed images)")
 
     if args.plot_dir is not None:
-        from pathlib import Path
+        from .figures import save_all_figures
 
-        from .figures import save_atlas_weighting_figure, save_consensus_boxplot
-
-        plot_dir = Path(args.plot_dir)
-        save_consensus_boxplot({"run": cd}, plot_dir / "consensus_boxplot.png")
-        for f_id in cd:
-            save_atlas_weighting_figure(cd, f_id, plot_dir / f"weighting_{f_id}.png")
-        print(f"figures -> {plot_dir}")
+        save_all_figures(cd, args.plot_dir)
+        print(f"figures -> {args.plot_dir}")
 
 
 if __name__ == "__main__":

@@ -218,3 +218,17 @@ def save_atlas_weighting_figure(
     fig.savefig(out_path, bbox_inches="tight", dpi=120)
     plt.close(fig)
     return out_path
+
+
+def save_all_figures(cd, plot_dir):
+    """The standard figure set for one consensus run: the dice boxplot plus
+    one atlas-weighting figure per fixed image. Shared by the pipeline CLI
+    and `python -m deep_staple_tpu.consensus --plot-dir`."""
+    plot_dir = Path(plot_dir)
+    plot_dir.mkdir(parents=True, exist_ok=True)
+    paths = [save_consensus_boxplot({"run": cd}, plot_dir / "consensus_boxplot.png")]
+    for f_id in cd:
+        paths.append(
+            save_atlas_weighting_figure(cd, f_id, plot_dir / f"weighting_{f_id}.png")
+        )
+    return paths

@@ -10,8 +10,12 @@ enable it before touching the backend.
 Resolution order:
   1. ``JAX_COMPILATION_CACHE_DIR`` env var — honored by JAX itself; we leave
      it alone so deployments can point every job at a shared cache.
-  2. ``$XDG_CACHE_HOME/deep_staple_tpu/jax_cache`` (or
-     ``~/.cache/deep_staple_tpu/jax_cache``) otherwise.
+  2. the repo-local ``.jax_cache`` next to ``bench.py`` when the source tree
+     is writable — ONE cache shared by the CLIs, bench and the probes, so a
+     step compiled by any of them is warm for all.
+  3. ``$XDG_CACHE_HOME/deep_staple_tpu/jax_cache`` (or
+     ``~/.cache/deep_staple_tpu/jax_cache``) otherwise (installed package on
+     a read-only tree).
 """
 
 from __future__ import annotations
@@ -29,14 +33,19 @@ def enable_persistent_compile_cache(min_compile_secs: float = 10.0) -> str | Non
     """
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return os.environ["JAX_COMPILATION_CACHE_DIR"]
+    repo_local = Path(__file__).resolve().parents[2] / ".jax_cache"
     base = os.environ.get("XDG_CACHE_HOME") or str(Path.home() / ".cache")
-    cache_dir = Path(base) / "deep_staple_tpu" / "jax_cache"
-    try:
-        cache_dir.mkdir(parents=True, exist_ok=True)
-        import jax
+    xdg = Path(base) / "deep_staple_tpu" / "jax_cache"
+    for cache_dir in (repo_local, xdg):
+        try:
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            import jax
 
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
-    except Exception:
-        return None
-    return str(cache_dir)
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+            )
+            return str(cache_dir)
+        except Exception:
+            continue
+    return None

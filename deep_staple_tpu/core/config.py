@@ -259,22 +259,26 @@ def add_cli_args(parser, config: TrainConfig = TrainConfig()):
     Typed from each field's default: bools accept true/false, ints/floats are
     cast, None-able and tuple fields go through `_smart_value` (so
     `--crop-3d-w-dim-range 45,95` and `--crop-3d-w-dim-range none` both work).
+    Every flag is registered under BOTH spellings (`--batch-size` and
+    `--batch_size`) — reference users come from torch-style underscore CLIs.
     """
     for f in dataclasses.fields(config):
-        name = "--" + f.name.replace("_", "-")
+        names = ["--" + f.name.replace("_", "-")]
+        if "_" in f.name:
+            names.append("--" + f.name)  # underscore alias, same dest
         default = getattr(config, f.name)
         if isinstance(default, bool):
-            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
+            parser.add_argument(*names, type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
         elif isinstance(default, Enum):
-            parser.add_argument(name, type=str, default=str(default))
+            parser.add_argument(*names, type=str, default=str(default))
         elif isinstance(default, int):
-            parser.add_argument(name, type=int, default=default)
+            parser.add_argument(*names, type=int, default=default)
         elif isinstance(default, float):
-            parser.add_argument(name, type=float, default=default)
+            parser.add_argument(*names, type=float, default=default)
         elif isinstance(default, str):
-            parser.add_argument(name, type=str, default=default)
+            parser.add_argument(*names, type=str, default=default)
         else:  # Optional[...] and tuples
-            parser.add_argument(name, type=_smart_value, default=default)
+            parser.add_argument(*names, type=_smart_value, default=default)
     return parser
 
 

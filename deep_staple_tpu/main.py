@@ -29,6 +29,15 @@ SWEEP_METRIC = "scores/val_dice_mean_tumour_fold0"  # goal: maximize
 
 
 def normal_run(config: TrainConfig, run_name: str | None = None):
+    if run_name is None and config.auto_resume and not config.checkpoint_name:
+        # A generated run name is a fresh timestamp every invocation, so the
+        # newest-checkpoint scan could never match a previous run's files —
+        # the advertised "re-run the same command" crash recovery needs a
+        # stable name to scan under.
+        raise ValueError(
+            "--auto-resume needs a stable checkpoint identity: pass "
+            "--run-name (or --checkpoint-name) matching the interrupted run"
+        )
     run_name = run_name or f"run-{int(time.time())}"
     print("Running", run_name)
     dataset, atlas_count = prepare_data(config)

@@ -70,14 +70,10 @@ def run_pipeline(config: TrainConfig, run_name=None, nnunet_dir=None,
             )
             summary[fold_idx]["nnunet_tasks"] = [str(w) for w in written]
         if plot_dir is not None:
-            from .consensus.figures import (save_atlas_weighting_figure,
-                                            save_consensus_boxplot)
+            from .consensus.figures import save_all_figures
 
             fold_plot_dir = Path(plot_dir) / f"fold{fold_idx}"
-            fold_plot_dir.mkdir(parents=True, exist_ok=True)
-            save_consensus_boxplot({"run": cd}, fold_plot_dir / "consensus_boxplot.png")
-            for f_id in cd:
-                save_atlas_weighting_figure(cd, f_id, fold_plot_dir / f"weighting_{f_id}.png")
+            save_all_figures(cd, fold_plot_dir)
             summary[fold_idx]["plots"] = str(fold_plot_dir)
 
     summary_path = Path(config.output_dir) / "pipeline_summary.json"

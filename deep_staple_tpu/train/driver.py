@@ -145,6 +145,15 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             f"mesh_data_axis={config.mesh_data_axis} must divide over "
             f"{nproc} processes (equal batch rows per host)"
         )
+    if nproc > 1 and config.checkpoint_backend == "orbax":
+        # orbax's Checkpointer.save is a GLOBAL collective (it barriers in
+        # multihost.sync_global_processes), but this driver writes
+        # checkpoints from process 0 only — entering it on one process
+        # would deadlock the pod at the first save epoch.
+        raise ValueError(
+            "checkpoint_backend='orbax' is single-process only here; "
+            "use the msgpack backend (default) on multi-host pods"
+        )
     writer = writer or MetricWriter(
         jsonl_path=str(Path(config.output_dir) / f"{run_name}_metrics.jsonl")
         if (config.log_jsonl and is_main)
@@ -282,6 +291,23 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                 epx_start = newest + 1
                 print(f"Auto-resume: newest checkpoint {ckpt_path}, continuing at epoch {epx_start}")
         epx = max(epx_start - 1, 0)  # snapshot dir name if the loop is empty
+        if nproc > 1:
+            # Only process 0 WRITES checkpoints, but every process scans and
+            # restores them independently — without shared storage the hosts
+            # would silently resume from different epochs (or one fresh, one
+            # restored) and assemble a "replicated" state from divergent
+            # local trees. Cross-check before touching the state.
+            from jax.experimental import multihost_utils
+
+            mine = np.array([epx_start, int(checkpoint_exists(ckpt_path))], np.int32)
+            seen = np.asarray(multihost_utils.process_allgather(mine))
+            if not (seen == seen[0]).all():
+                raise RuntimeError(
+                    f"multi-host resume state differs across processes "
+                    f"(per-host [epx_start, ckpt_found] = {seen.tolist()}): "
+                    f"mdl_save_prefix={config.mdl_save_prefix!r} must be "
+                    f"shared storage visible to every host"
+                )
         if checkpoint_exists(ckpt_path):
             print(f"Restoring checkpoint from {ckpt_path}")
             state = restore_checkpoint(ckpt_path, state)

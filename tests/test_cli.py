@@ -145,7 +145,9 @@ def test_apply_preset_merges_and_respects_explicit_flags():
 
 def test_compile_cache_helper(monkeypatch, tmp_path):
     """CLI entry points enable XLA's persistent compile cache; an explicit
-    JAX_COMPILATION_CACHE_DIR is honored by returning early (jax reads it)."""
+    JAX_COMPILATION_CACHE_DIR is honored by returning early (jax reads it),
+    and the default resolves to the repo-local .jax_cache SHARED with
+    bench.py/the probes (one cache for every entry point)."""
     import jax
 
     from deep_staple_tpu.core.cache import enable_persistent_compile_cache
@@ -158,9 +160,9 @@ def test_compile_cache_helper(monkeypatch, tmp_path):
     prev = jax.config.jax_compilation_cache_dir
     try:
         out = enable_persistent_compile_cache()
-        expected = tmp_path / "deep_staple_tpu" / "jax_cache"
-        assert out == str(expected)
-        assert expected.is_dir()
+        expected = os.path.join(REPO, ".jax_cache")  # bench.py's cache dir
+        assert out == expected
+        assert os.path.isdir(expected)
         assert jax.config.jax_compilation_cache_dir == out
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
@@ -266,3 +268,26 @@ def test_bench_watchdog_bounds_a_dead_tunnel(monkeypatch, capsys):
     assert capsys.readouterr().out == "" and len(exited) == n
     bench._EMITTED = False
     bench._HEADLINE_SEC.clear()
+
+
+def test_underscore_flag_aliases_and_auto_resume_guard():
+    """Every config flag parses under BOTH spellings (torch users copy
+    underscore flags from the reference's config_dict), and --auto-resume
+    without a stable run identity fails fast instead of silently never
+    finding the previous run's checkpoints."""
+    import argparse
+
+    from deep_staple_tpu.core.config import TrainConfig, add_cli_args
+    from deep_staple_tpu.main import normal_run
+
+    p = argparse.ArgumentParser(allow_abbrev=False)
+    add_cli_args(p)
+    a = p.parse_args([
+        "--batch_size", "8", "--mesh-data-axis", "2",
+        "--data_param_mode", "DISABLED", "--export_pth_snapshot", "true",
+    ])
+    assert (a.batch_size, a.mesh_data_axis) == (8, 2)
+    assert a.export_pth_snapshot is True
+
+    with pytest.raises(ValueError, match="auto-resume"):
+        normal_run(TrainConfig(auto_resume=True))
