@@ -201,17 +201,31 @@ def get_crossmoda_data_load_closure(
                 del label_data_3d[del_id]
 
         # Drop non-binary labels, H-flip right-side cases (reference :283-293).
+        # After atlas expansion many instance ids alias the SAME base
+        # image/label array (line `img_data_3d[_mod_3d_id] = img_data_3d[_3d_id]`
+        # above); flip each underlying array once and re-share it, instead of
+        # materializing one flipped copy per atlas instance (at the 3,210-
+        # instance reg_states that aliasing is worth ~GBs of host RAM).
+        # Keyed by id() WITH a strong ref to the source so ids can't be reused.
+        _flip_memo: dict[int, tuple] = {}
+
+        def _flipped(arr):
+            got = _flip_memo.get(id(arr))
+            if got is not None and got[0] is arr:
+                return got[1]
+            out = np.ascontiguousarray(np.flip(arr, axis=1))
+            _flip_memo[id(arr)] = (arr, out)
+            return out
+
         for _3d_id in list(label_data_3d.keys()):
             if len(np.unique(label_data_3d[_3d_id])) != 2:
                 del img_data_3d[_3d_id]
                 del label_data_3d[_3d_id]
                 modified_label_data_3d.pop(_3d_id, None)
             elif "r" in _3d_id:
-                img_data_3d[_3d_id] = np.ascontiguousarray(np.flip(img_data_3d[_3d_id], axis=1))
-                label_data_3d[_3d_id] = np.ascontiguousarray(np.flip(label_data_3d[_3d_id], axis=1))
-                modified_label_data_3d[_3d_id] = np.ascontiguousarray(
-                    np.flip(modified_label_data_3d[_3d_id], axis=1)
-                )
+                img_data_3d[_3d_id] = _flipped(img_data_3d[_3d_id])
+                label_data_3d[_3d_id] = _flipped(label_data_3d[_3d_id])
+                modified_label_data_3d[_3d_id] = _flipped(modified_label_data_3d[_3d_id])
 
         print(f"Loaded {len(img_data_3d)} instances in {time.time()-t0:.1f}s")
         return (

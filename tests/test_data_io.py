@@ -165,3 +165,46 @@ def test_native_loader_rejects_truncated_file(tmp_path, rng):
     buf = ctypes.POINTER(ctypes.c_float)()
     rc = lib.ds_load_nifti_f32(str(p).encode(), dims, ctypes.byref(buf))
     assert rc != 0  # clean error, no OOB read
+
+
+def test_right_side_flip_shares_arrays_across_atlas_instances(tmp_path, rng):
+    """Atlas expansion aliases each fixed image across its instances; the
+    right-side H-flip must preserve that sharing (flip the base array once)
+    instead of materializing one flipped copy per atlas instance
+    (crossmoda.py flip memo; reference semantics :283-293 unchanged)."""
+    from deep_staple_tpu.data.crossmoda import get_crossmoda_data_load_closure
+
+    img_dir = tmp_path / "L4_fine_localized_crop" / "target_training_unlabeled"
+    lbl_dir = tmp_path / "L4_fine_localized_crop" / "__omitted_labels_target_training__"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    size = (8, 8, 8)
+    img = rng.rand(*size).astype(np.float32)
+    lbl = (rng.rand(*size) > 0.6).astype(np.int16)
+    save_nifti(img_dir / "crossmoda_1_hrT2_r.nii.gz", img)
+    save_nifti(lbl_dir / "crossmoda_1_hrT2_r_Label.nii.gz", lbl)
+
+    override = {
+        "001r:m001": (rng.rand(*size) > 0.5).astype(np.int16),
+        "001r:m002": (rng.rand(*size) > 0.5).astype(np.int16),
+    }
+    closure = get_crossmoda_data_load_closure(
+        base_dir=str(tmp_path), domain="target", state="l4",
+        use_additional_data=False, size=size, resample=True,
+        normalize=True, crop_3d_w_dim_range=None, ensure_labeled_pairs=True,
+        modified_3d_label_override=override, debug=False,
+    )
+    _, _, img_data, lbl_data, mod_data, _, _ = closure()
+
+    assert set(img_data) == {"001r:m001", "001r:m002"}
+    # flipped once, shared — not duplicated per instance
+    assert img_data["001r:m001"] is img_data["001r:m002"]
+    assert lbl_data["001r:m001"] is lbl_data["001r:m002"]
+    # flip actually applied (axis=1, reference :289-290)
+    flipped_lbl = np.flip(lbl.astype(img_data["001r:m001"].dtype), axis=1)
+    np.testing.assert_array_equal(lbl_data["001r:m001"], flipped_lbl)
+    # modified labels come from the override (distinct per instance), flipped
+    np.testing.assert_array_equal(
+        mod_data["001r:m001"], np.flip(override["001r:m001"], axis=1)
+    )
+    assert mod_data["001r:m001"] is not mod_data["001r:m002"]
