@@ -64,6 +64,24 @@ def torch_default_bias_init(fan_in: int):
     return init
 
 
+def resolve_depthwise_impl(impl: str) -> str:
+    """'auto' -> the measured-fastest depthwise lowering per backend.
+
+    TPU: XLA's grouped conv uses the MXU (15.7 ms/conv at bench scale) and
+    beats both the shifted-FMA form (stride-2 taps lower to gather temps) and
+    the Pallas VPU stencil — keep 'xla'. CPU: the grouped-conv path runs at
+    ~0.08 GFLOP/s (1.5 s for a 4x18^3x96 conv); the 27-FMA 'shift' form with
+    its hand-written VJP is 39x faster fwd / 5x bwd and bit-compatible
+    (gate: tests/test_models.py::test_depthwise_shift_impl_matches_xla_grouped_conv).
+    Resolved at trace time (NOT as a dataclass default — flax class-attribute
+    defaults freeze at class creation) so the same module works on both the
+    TPU production path and the virtual-mesh CPU test suite.
+    """
+    if impl != "auto":
+        return impl
+    return "shift" if jax.default_backend() == "cpu" else "xla"
+
+
 class _DepthwiseConv3D(nn.Module):
     """Param-compatible replacement for the depthwise nn.Conv (same module
     name 'Conv_0', same kernel shape (k,k,k,1,C)) computing the conv as 27
@@ -132,10 +150,11 @@ class ConvBN(nn.Module):
     kernel_init: nn.initializers.Initializer = kaiming_normal_fan_out
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    # "xla" grouped conv | "shift" 27 VPU FMAs (ops/conv3d.py) | "hybrid"
-    # shift for stride-1 + xla for stride-2 (stride-2 shifted slices lower to
-    # gather temps — the measured pathology of all-"shift": 4.2s vs 2.6s step)
-    depthwise_impl: str = "xla"
+    # "auto" backend-resolved (see resolve_depthwise_impl) | "xla" grouped
+    # conv | "shift" 27 VPU FMAs (ops/conv3d.py) | "hybrid" shift for
+    # stride-1 + xla for stride-2 (stride-2 shifted slices lower to gather
+    # temps — the measured pathology of all-"shift" on TPU: 4.2s vs 2.6s step)
+    depthwise_impl: str = "auto"
     # 1x1x1 stride-1 ungrouped convs as explicit matmuls (True) or via the
     # XLA conv emitter (False); None = POINTWISE_MATMUL_DEFAULT. Equivalence
     # gate-tested in test_models.
@@ -144,15 +163,16 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         pad = self.dilation * (self.kernel // 2)
-        use_own = self.depthwise_impl == "shift" or (
-            self.depthwise_impl in ("hybrid", "pallas") and self.stride == 1
+        impl = resolve_depthwise_impl(self.depthwise_impl)
+        use_own = impl == "shift" or (
+            impl in ("hybrid", "pallas") and self.stride == 1
         )
         if self.groups == self.features and self.groups > 1 and use_own:
             assert self.dilation == 1 and x.shape[-1] == self.features
             x = _DepthwiseConv3D(
                 self.features, self.kernel, self.stride,
                 kernel_init=self.kernel_init, dtype=self.dtype, name="Conv_0",
-                impl="pallas" if self.depthwise_impl == "pallas" else "shift",
+                impl="pallas" if impl == "pallas" else "shift",
             )(x)
         elif (
             (self.pointwise_matmul if self.pointwise_matmul is not None
@@ -198,7 +218,7 @@ class InvertedResidual3D(nn.Module):
     first_full_conv: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    depthwise_impl: str = "xla"
+    depthwise_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -225,7 +245,7 @@ class BackboneHigh3D(nn.Module):
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    depthwise_impl: str = "xla"
+    depthwise_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -243,7 +263,7 @@ class BackboneLow3D(nn.Module):
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    depthwise_impl: str = "xla"
+    depthwise_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -372,7 +392,11 @@ class MobileNetLRASPP3D(nn.Module):
     use_checkpointing: bool = True
     head_type: str = "lraspp"  # 'lraspp' | 'conv'
     dropout_rate: float = 0.5  # ASPP dropout; 0.0 for torch-parity testing
-    depthwise_impl: str = "xla"  # 'shift' (ops/conv3d.py) measured slower on v5e: stride-2 taps lower to gathers (4.2s vs 2.6s strict step)
+    # 'auto' = 'xla' on TPU ('shift' measured slower on v5e: stride-2 taps
+    # lower to gathers, 4.2s vs 2.6s strict step) and 'shift' on CPU, where
+    # XLA's grouped conv runs at ~0.08 GFLOP/s vs the 27-FMA form's 39x-fwd/
+    # 5x-bwd advantage (see resolve_depthwise_impl).
+    depthwise_impl: str = "auto"
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
 

@@ -59,7 +59,7 @@ class PipelineStage0(nn.Module):
 
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
-    depthwise_impl: str = "xla"
+    depthwise_impl: str = "auto"
     use_checkpointing: bool = False
 
     @nn.compact
