@@ -93,6 +93,22 @@ def test_depthwise_shift_impl_matches_xla_grouped_conv(impl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
 
+def test_depthwise_impl_auto_resolution():
+    """'auto' (the default) must resolve per backend at trace time: 'shift'
+    on CPU (XLA-CPU grouped conv is ~0.08 GFLOP/s — this is what keeps the
+    suite tractable), 'xla' on accelerators (measured fastest on v5e).
+    Explicit impls pass through untouched."""
+    from deep_staple_tpu.models.lraspp3d import resolve_depthwise_impl
+
+    assert resolve_depthwise_impl("auto") == "shift"  # suite runs on CPU
+    for impl in ("xla", "shift", "hybrid", "pallas"):
+        assert resolve_depthwise_impl(impl) == impl
+    # The default model on CPU must produce the shift param layout (same tree
+    # as explicit 'shift' — gate-tested equal to 'xla' above) and the module
+    # default must be 'auto' so the TPU production path stays on 'xla'.
+    assert MobileNetLRASPP3D(num_classes=2).depthwise_impl == "auto"
+
+
 @pytest.mark.parametrize("stride,dims", [(1, (7, 6, 5)), (2, (8, 7, 6)), (2, (9, 9, 9))])
 def test_depthwise_conv3d_custom_vjp_matches_xla(stride, dims):
     """Op-level gate for the hand-written VJP of `depthwise_conv3d_shifted`
