@@ -34,16 +34,21 @@ def _shifted_fma(xp, kernel, out_dims, stride: int, flip: bool):
     """sum_k w[k] * xp[k : k+D : stride] over all kernel taps.
 
     xp is the already-padded input; out_dims the unstrided source extents.
+    The 27-term chain accumulates in f32 like XLA's grouped conv (conv
+    semantics: low-precision in/out, f32 accumulation) — which on the CPU
+    backend is also ~4x faster than bf16 FMAs (XLA-CPU emulates bf16
+    arithmetic; f32 is the native vector width). Callers cast back.
     """
     kD, kH, kW = kernel.shape[:3]
     D, H, W = out_dims
+    acc_t = jnp.promote_types(xp.dtype, jnp.float32)
     out = None
     for dz in range(kD):
         for dy in range(kH):
             for dx in range(kW):
                 w = kernel[kD - 1 - dz, kH - 1 - dy, kW - 1 - dx, 0] if flip else kernel[dz, dy, dx, 0]
                 sl = xp[:, dz : dz + D : stride, dy : dy + H : stride, dx : dx + W : stride, :]
-                term = sl * w
+                term = sl.astype(acc_t) * w.astype(acc_t)
                 out = term if out is None else out + term
     return out
 
@@ -62,7 +67,7 @@ def depthwise_conv3d_shifted(x, kernel, stride: int = 1):
     """
     kD, kH, kW = kernel.shape[:3]
     xp = _pad_spatial(x, (kD // 2, kH // 2, kW // 2))
-    return _shifted_fma(xp, kernel, x.shape[1:4], stride, flip=False)
+    return _shifted_fma(xp, kernel, x.shape[1:4], stride, flip=False).astype(x.dtype)
 
 
 def _dw_fwd(x, kernel, stride: int):
