@@ -223,6 +223,12 @@ def get_crossmoda_data_load_closure(
                 del label_data_3d[_3d_id]
                 modified_label_data_3d.pop(_3d_id, None)
             elif "r" in _3d_id:
+                # The flip memo can make label and modified-label entries share
+                # ONE array object (when no disturbance touched this id).
+                # Invariant: downstream never mutates these in place —
+                # disturb_label returns new arrays and __getitem__ copies; any
+                # future in-place edit of a modified label would silently
+                # corrupt the clean label too.
                 img_data_3d[_3d_id] = _flipped(img_data_3d[_3d_id])
                 label_data_3d[_3d_id] = _flipped(label_data_3d[_3d_id])
                 modified_label_data_3d[_3d_id] = _flipped(modified_label_data_3d[_3d_id])

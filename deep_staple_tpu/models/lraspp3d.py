@@ -71,11 +71,17 @@ def resolve_depthwise_impl(impl: str) -> str:
     beats both the shifted-FMA form (stride-2 taps lower to gather temps) and
     the Pallas VPU stencil — keep 'xla'. CPU: the grouped-conv path runs at
     ~0.08 GFLOP/s (1.5 s for a 4x18^3x96 conv); the 27-FMA 'shift' form with
-    its hand-written VJP is 39x faster fwd / 5x bwd and bit-compatible
-    (gate: tests/test_models.py::test_depthwise_shift_impl_matches_xla_grouped_conv).
+    its hand-written VJP is 39x faster fwd / 5x bwd and gate-tested equivalent
+    within 2e-4 (rounds through f32 accumulation;
+    tests/test_models.py::test_depthwise_shift_impl_matches_xla_grouped_conv).
     Resolved at trace time (NOT as a dataclass default — flax class-attribute
     defaults freeze at class creation) so the same module works on both the
     TPU production path and the virtual-mesh CPU test suite.
+
+    Limitation: keys off `jax.default_backend()` (process-wide), not the
+    device the computation is placed on — CPU-pinned eval inside a TPU
+    process takes the slow grouped-conv path. Perf-only: the impls are
+    gate-equivalent numerically.
     """
     if impl != "auto":
         return impl

@@ -62,10 +62,7 @@ def spearman_corr(a, b):
     """Spearman rho without scipy: Pearson on average ranks."""
 
     def _rank(x):
-        order = np.argsort(x)
-        ranks = np.empty_like(order, dtype=np.float64)
-        ranks[order] = np.arange(len(x))
-        # average ties
+        # tie-averaged ranks straight from the unique() decomposition
         vals, inv, counts = np.unique(x, return_inverse=True, return_counts=True)
         csum = np.cumsum(counts) - 1
         start = csum - counts + 1
@@ -548,6 +545,7 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                     if snapshot["train_predictions"].ndim == 4 else 4 * snapshot["train_predictions"],
                     ground_truth=snapshot["modified_labels"],
                     overlay_text=overlay,
+                    annotate_color=(255, 0, 0),  # red disturb markers
                     frame_elements=list(snapshot["disturb_flags"]),
                     n_per_row=70,
                     file_path=snapshot_path.parent / "data_parameter_weighted_samples.png",

@@ -20,7 +20,9 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-# Tab10-like palette for class indices 1.. (index 0 = background, transparent)
+# Tab10-like palette for class indices 1.. (index 0 = background, transparent).
+# Fallback when matplotlib is unavailable; otherwise `get_cmap_dict` builds the
+# reference's discretized pyplot colormap (visualization.py:226-264).
 _PALETTE = np.array(
     [
         [0, 0, 0],
@@ -39,6 +41,46 @@ _PALETTE = np.array(
 )
 
 
+def get_cmap_dict(class_max_id: int, pyplot_map_name: str = "gist_rainbow",
+                  no_color_zero_id: bool = True) -> dict:
+    """Discretized pyplot colormap dict, e.g. {0: None, 1: (r,g,b), ...}.
+
+    Parity with reference `visualization.py:226-264` (`get_cmap_dict`): the
+    map samples `cmap(i/num_ids)` for i in 0..num_ids-1 and scales to 0-255;
+    id 0 maps to None (transparent background) when `no_color_zero_id`.
+    """
+    import matplotlib.pyplot as plt
+
+    cmap = plt.get_cmap(pyplot_map_name)
+    cmap_dict: dict = {}
+    if no_color_zero_id:
+        cmap_dict[0] = None
+        num_ids, id_offset = class_max_id, 1
+    else:
+        num_ids, id_offset = class_max_id + 1, 0
+    discretized = (cmap(np.arange(num_ids) / float(num_ids)) * 255).astype(np.int32)
+    for idx, rgba in enumerate(discretized):
+        cmap_dict[idx + id_offset] = tuple(int(v) for v in rgba[:3])
+    return cmap_dict
+
+
+def _palette_from_cmap(color_map: Optional[dict], max_id: int) -> np.ndarray:
+    """(max_id+1, 3) uint8 lookup table from a cmap dict (None entries -> 0)."""
+    if color_map is None:
+        # Reference behavior (:428-430): derive a pyplot map from the max
+        # class id; keep the static palette when matplotlib is absent.
+        try:
+            color_map = get_cmap_dict(max(int(max_id), 1))
+        except ImportError:  # pragma: no cover
+            reps = -(-(max_id + 1) // len(_PALETTE))
+            return np.tile(_PALETTE, (reps, 1))[: max_id + 1]
+    table = np.zeros((max_id + 1, 3), np.uint8)
+    for cls, rgb in color_map.items():
+        if rgb is not None and 0 <= int(cls) <= max_id:
+            table[int(cls)] = np.asarray(rgb, np.uint8)
+    return table
+
+
 def _to_uint8_gray(img: np.ndarray) -> np.ndarray:
     img = np.asarray(img, np.float32)
     lo, hi = float(img.min()), float(img.max())
@@ -47,23 +89,28 @@ def _to_uint8_gray(img: np.ndarray) -> np.ndarray:
     return ((img - lo) / (hi - lo) * 255).astype(np.uint8)
 
 
-def _colorize_label(lbl: np.ndarray) -> np.ndarray:
-    lbl = np.asarray(lbl).astype(np.int64) % len(_PALETTE)
-    return _PALETTE[lbl]
-
-
-def _overlay(base_rgb: np.ndarray, lbl: np.ndarray, alpha: float) -> np.ndarray:
-    color = _colorize_label(lbl).astype(np.float32)
-    mask = (np.asarray(lbl) > 0)[..., None].astype(np.float32) * alpha
+def _overlay(base_rgb: np.ndarray, lbl: np.ndarray, alpha: float,
+             palette: np.ndarray) -> np.ndarray:
+    lbl = np.asarray(lbl).astype(np.int64)
+    color = palette[np.clip(lbl, 0, len(palette) - 1)].astype(np.float32)
+    mask = (lbl > 0)[..., None].astype(np.float32) * alpha
     return (base_rgb.astype(np.float32) * (1 - mask) + color * mask).astype(np.uint8)
 
 
-def _reduce_3d(vol: np.ndarray, reduce_dim: str, is_label: bool) -> np.ndarray:
-    """Collapse a 3D volume to 2D: center slice of the nonzero extent for
-    labels, middle slice for images."""
-    axis = {"D": 0, "H": 1, "W": 2}[reduce_dim]
-    idx = vol.shape[axis] // 2
-    return np.take(vol, idx, axis=axis)
+def _reduce_slice_index(axis: int, labels: Sequence[Optional[np.ndarray]],
+                        extent: int) -> int:
+    """Shared 2D slice index for one tile: the center of the nonzero extent of
+    the first label volume that has one (so off-center structures stay
+    visible), else the middle slice. Using ONE index for image/seg/gt keeps
+    the overlays spatially aligned."""
+    for lbl in labels:
+        if lbl is None:
+            continue
+        other = tuple(a for a in range(lbl.ndim) if a != axis)
+        nz = np.flatnonzero(np.any(np.asarray(lbl) > 0, axis=other))
+        if nz.size:
+            return int((nz.min() + nz.max()) // 2)
+    return extent // 2
 
 
 def _crop_to_nonzero(arrs: Sequence[np.ndarray], ref: np.ndarray, margin: int = 2):
@@ -86,6 +133,7 @@ def visualize_seg(
     crop_to_non_zero_gt: bool = False,
     alpha_seg: float = 0.4,
     alpha_gt: float = 0.2,
+    onehot_color_map: Optional[dict] = None,
     n_per_row: int = 8,
     overlay_text: Optional[Sequence[str]] = None,
     annotate_color=(0, 255, 255),
@@ -114,6 +162,11 @@ def visualize_seg(
 
     imgs, segs, gts = _listify(img), _listify(seg), _listify(ground_truth)
     n = max(len(x) for x in (imgs, segs, gts) if x is not None)
+    max_id = max(
+        [int(np.asarray(a).max()) for x in (segs, gts) if x is not None for a in x]
+        or [1]
+    )
+    palette = _palette_from_cmap(onehot_color_map, max(max_id, 1))
 
     tiles = []
     for i in range(n):
@@ -132,20 +185,25 @@ def visualize_seg(
                 im = next(it) if im is not None else None
                 sg = next(it) if sg is not None else None
                 gt = next(it) if gt is not None else None
-            im = _reduce_3d(im, reduce_dim, False) if im is not None else None
-            sg = _reduce_3d(sg, reduce_dim, True) if sg is not None else None
-            gt = _reduce_3d(gt, reduce_dim, True) if gt is not None else None
+            axis = {"D": 0, "H": 1, "W": 2}[reduce_dim]
+            extent = next(a.shape[axis] for a in (im, sg, gt) if a is not None)
+            idx = _reduce_slice_index(axis, (sg, gt), extent)
+            im = np.take(im, idx, axis=axis) if im is not None else None
+            sg = np.take(sg, idx, axis=axis) if sg is not None else None
+            gt = np.take(gt, idx, axis=axis) if gt is not None else None
 
         shape = next(a.shape for a in (im, sg, gt) if a is not None)
         base = _to_uint8_gray(im) if im is not None else np.zeros(shape, np.uint8)
         rgb = np.stack([base] * 3, -1)
         if gt is not None:
-            rgb = _overlay(rgb, gt, alpha_gt)
+            rgb = _overlay(rgb, gt, alpha_gt, palette)
         if sg is not None:
-            rgb = _overlay(rgb, sg, alpha_seg)
+            rgb = _overlay(rgb, sg, alpha_seg, palette)
         if frame_elements is not None and i < len(frame_elements) and frame_elements[i]:
-            rgb[[0, 1, -2, -1], :] = (255, 0, 0)
-            rgb[:, [0, 1, -2, -1]] = (255, 0, 0)
+            # Reference frames tiles with a 1px annotate_color outline
+            # (visualization.py:467-475); 2px here for visibility at thumb size.
+            rgb[[0, 1, -2, -1], :] = annotate_color
+            rgb[:, [0, 1, -2, -1]] = annotate_color
         tiles.append((rgb, overlay_text[i] if overlay_text is not None and i < len(overlay_text) else None))
 
     # compose grid (pad tiles to common size)

@@ -133,4 +133,8 @@ print("DP_VECTOR", " ".join(f"{{v:.6e}}" for v in dp))
     # ~2.3e-4 relative on a non-saturated DP element). The replication
     # invariant above (both processes bit-equal) stays exact.
     np.testing.assert_allclose(dps[0], dp_single, rtol=5e-4, atol=1e-5)
-    np.testing.assert_array_equal(np.sign(dps[0]), np.sign(dp_single))
+    # Sign agreement only where the magnitude clears the allclose atol: a DP
+    # element straddling zero (+1e-6 vs -1e-6 across compilations) is within
+    # tolerance but would flip sign.
+    big = np.abs(dp_single) > 1e-5
+    np.testing.assert_array_equal(np.sign(dps[0][big]), np.sign(dp_single[big]))

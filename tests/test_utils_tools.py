@@ -55,6 +55,52 @@ def test_visualize_seg_grid(tmp_path, rng):
     assert (tmp_path / "viz.png").is_file()
 
 
+def test_get_cmap_dict_matches_reference_formula():
+    # Golden values of the reference's discretization (visualization.py:226-264):
+    # gist_rainbow sampled at i/num_ids, scaled by 255, int-truncated, id 0 -> None.
+    from deep_staple_tpu.utils.visualization import get_cmap_dict
+
+    assert get_cmap_dict(1) == {0: None, 1: (255, 0, 40)}
+    assert get_cmap_dict(3) == {
+        0: None, 1: (255, 0, 40), 2: (91, 255, 0), 3: (0, 143, 255)}
+    nz = get_cmap_dict(1, no_color_zero_id=False)
+    assert nz[0] is not None and len(nz) == 2
+
+
+def test_visualize_offcenter_label_slice_and_cmap(tmp_path):
+    # Golden-image check: a label confined to the LAST W-slice must be picked
+    # up by the reduce (the old middle-slice reduce rendered an empty tile)
+    # and colored with the gist_rainbow class-1 color (255, 0, 40).
+    img = np.zeros((6, 5, 4), np.float32)
+    seg = np.zeros((6, 5, 4), np.int32)
+    seg[2:4, 1:3, 3] = 1  # off-center: only at W=3
+    out = visualize_seg(in_type="single_3D", reduce_dim="W", img=img, seg=seg,
+                        alpha_seg=1.0)
+    assert out.shape == (6, 5, 3)
+    expected = np.zeros((6, 5, 3), np.uint8)
+    expected[2:4, 1:3] = (255, 0, 40)
+    np.testing.assert_array_equal(out, expected)
+    # Explicit color maps override the derived one.
+    out2 = visualize_seg(in_type="single_3D", reduce_dim="W", img=img, seg=seg,
+                         alpha_seg=1.0, onehot_color_map={0: None, 1: (0, 255, 0)})
+    assert tuple(out2[2, 1]) == (0, 255, 0)
+
+
+def test_visualize_frame_uses_annotate_color(rng):
+    img = rng.rand(2, 8, 9).astype(np.float32)
+    out = visualize_seg(in_type="batch_2D", img=img,
+                        frame_elements=[True, False], annotate_color=(10, 20, 30))
+    assert tuple(out[0, 0]) == (10, 20, 30)
+    assert tuple(out[0, 9]) != (10, 20, 30)  # second tile unframed
+
+
+def test_spearman_ties_and_sign():
+    from deep_staple_tpu.train.driver import spearman_corr
+
+    assert spearman_corr([1, 2, 2, 3], [10, 20, 20, 35]) == 1.0
+    assert spearman_corr([1, 2, 3, 4], [8, 6, 4, 2]) == -1.0
+
+
 def test_visualize_single_2d(rng):
     img = rng.rand(12, 9)
     seg = (img > 0.8).astype(np.int32)
