@@ -32,7 +32,9 @@ def timed(name, make_fn, *args):
     """make_fn(*args) -> fn where fn is jitted state-threaded loop; returns ms/iter."""
     fn = make_fn(*args)
     out = fn(*args)  # compile
-    jax.block_until_ready(out)
+    # block_until_ready does NOT block over the tunnel — force a host
+    # transfer or the timed region absorbs the remote compile (minutes).
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     t0 = time.perf_counter()
     out = fn(*args)
     # block_until_ready is unreliable over the tunnel: force a host transfer.
@@ -63,11 +65,13 @@ def main():
     w2m = w2.reshape(MID, COUT)
     seed = x * 0.0 + 1.0
 
+    # bf16 in/out like the production model's flax convs (autodiff-safe:
+    # preferred_element_type=f32 makes the cotangent f32 and the transposed
+    # conv then mixes dtypes).
     def conv1x1(x_, w_):
         return jax.lax.conv_general_dilated(
             x_, w_, (1, 1, 1), "VALID",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
         )
 
     def dw(x_, w_):
@@ -76,7 +80,6 @@ def main():
             [(1, 1)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             feature_group_count=MID,
-            preferred_element_type=jnp.float32,
         )
 
     # -- 1x1 conv as conv_general_dilated --------------------------------

@@ -42,7 +42,10 @@ _V3_LARGE_CFG = [
     (5, 960, 160, True, "hardswish", 1, 2),
     (5, 960, 160, True, "hardswish", 1, 2),
 ]
-_LOW_BLOCK_IDX = 5  # after this block: 40ch @ stride 8 ("low" tap)
+# torchvision taps 'low' at the OUTPUT of features[4] — the first 40ch block
+# (stage_indices[-4] in _segm_lraspp_mobilenetv3), i.e. cfg index 3 here —
+# not after the full 40ch stage. Gate: tests/test_torch_parity_2d.py.
+_LOW_BLOCK_IDX = 3  # after this block: 40ch @ stride 8 ("low" tap)
 
 
 def _make_divisible(v: float, divisor: int = 8) -> int:

@@ -118,6 +118,105 @@ def _get(tree, path):
     return np.asarray(node)
 
 
+# --------------------------------------------------------------------------
+# 2D path: torchvision `lraspp_mobilenet_v3_large` key layout
+# (the reference's 2D model, `main_deep_staple.py:386-394`) <-> Flax
+# `LRASPPMobileNetV3Large2D`.
+# --------------------------------------------------------------------------
+
+
+def _conv2d_to_flax(w) -> np.ndarray:
+    return np.transpose(_np(w), (2, 3, 1, 0))
+
+
+def _conv2d_to_torch(k: np.ndarray) -> np.ndarray:
+    return np.transpose(np.asarray(k, np.float32), (3, 2, 0, 1))
+
+
+def _iter_2d_modules():
+    """Yields ('convbn', torch_conv_prefix, torch_bn_prefix, flax_path) and
+    ('conv', torch_prefix, flax_path, has_bias) and
+    ('se', torch_prefix, flax_path) entries covering the full model."""
+    from .lraspp2d import _V3_LARGE_CFG
+
+    yield ("convbn", "backbone.0.0", "backbone.0.1", ("ConvBN2D_0",))
+    inc = 16
+    for i, (_k, expanded, out, use_se, _act, _s, _d) in enumerate(_V3_LARGE_CFG):
+        t = f"backbone.{i + 1}.block"
+        f = f"InvertedResidual2D_{i}"
+        j = 0  # torch sequential index; flax ConvBN2D index tracks it
+        fj = 0
+        if expanded != inc:
+            yield ("convbn", f"{t}.{j}.0", f"{t}.{j}.1", (f, f"ConvBN2D_{fj}"))
+            j += 1
+            fj += 1
+        yield ("convbn", f"{t}.{j}.0", f"{t}.{j}.1", (f, f"ConvBN2D_{fj}"))  # dw
+        j += 1
+        fj += 1
+        if use_se:
+            yield ("se", f"{t}.{j}", (f, "SqueezeExcite_0"))
+            j += 1
+        yield ("convbn", f"{t}.{j}.0", f"{t}.{j}.1", (f, f"ConvBN2D_{fj}"))  # proj
+        inc = out
+    yield ("convbn", "backbone.16.0", "backbone.16.1", ("ConvBN2D_1",))
+    yield ("convbn", "classifier.cbr.0", "classifier.cbr.1", ("ConvBN2D_2",))
+    yield ("conv", "classifier.scale.1", ("Conv_0",), False)
+    yield ("conv", "classifier.low_classifier", ("Conv_1",), True)
+    yield ("conv", "classifier.high_classifier", ("Conv_2",), True)
+
+
+def torchvision_lraspp2d_to_flax(state_dict) -> dict:
+    """torchvision-format `lraspp_mobilenet_v3_large` state_dict -> Flax
+    variables for `LRASPPMobileNetV3Large2D`. Accepts torch tensors or numpy
+    arrays; `num_batches_tracked` is ignored."""
+    params: dict = {}
+    stats: dict = {}
+    for entry in _iter_2d_modules():
+        if entry[0] == "convbn":
+            _, conv_k, bn_k, fpath = entry
+            _set(params, fpath + ("Conv_0", "kernel"), _conv2d_to_flax(state_dict[f"{conv_k}.weight"]))
+            _set(params, fpath + ("BatchNorm_0", "scale"), _np(state_dict[f"{bn_k}.weight"]))
+            _set(params, fpath + ("BatchNorm_0", "bias"), _np(state_dict[f"{bn_k}.bias"]))
+            _set(stats, fpath + ("BatchNorm_0", "mean"), _np(state_dict[f"{bn_k}.running_mean"]))
+            _set(stats, fpath + ("BatchNorm_0", "var"), _np(state_dict[f"{bn_k}.running_var"]))
+        elif entry[0] == "se":
+            _, t, fpath = entry
+            for fc, fconv in (("fc1", "Conv_0"), ("fc2", "Conv_1")):
+                _set(params, fpath + (fconv, "kernel"), _conv2d_to_flax(state_dict[f"{t}.{fc}.weight"]))
+                _set(params, fpath + (fconv, "bias"), _np(state_dict[f"{t}.{fc}.bias"]))
+        else:
+            _, conv_k, fpath, has_bias = entry
+            _set(params, fpath + ("kernel",), _conv2d_to_flax(state_dict[f"{conv_k}.weight"]))
+            if has_bias:
+                _set(params, fpath + ("bias",), _np(state_dict[f"{conv_k}.bias"]))
+    return {"params": params, "batch_stats": stats}
+
+
+def flax_lraspp2d_to_torchvision(variables) -> dict:
+    """Inverse of :func:`torchvision_lraspp2d_to_flax` (numpy values)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: dict = {}
+    for entry in _iter_2d_modules():
+        if entry[0] == "convbn":
+            _, conv_k, bn_k, fpath = entry
+            sd[f"{conv_k}.weight"] = _conv2d_to_torch(_get(params, fpath + ("Conv_0", "kernel")))
+            sd[f"{bn_k}.weight"] = _get(params, fpath + ("BatchNorm_0", "scale"))
+            sd[f"{bn_k}.bias"] = _get(params, fpath + ("BatchNorm_0", "bias"))
+            sd[f"{bn_k}.running_mean"] = _get(stats, fpath + ("BatchNorm_0", "mean"))
+            sd[f"{bn_k}.running_var"] = _get(stats, fpath + ("BatchNorm_0", "var"))
+        elif entry[0] == "se":
+            _, t, fpath = entry
+            for fc, fconv in (("fc1", "Conv_0"), ("fc2", "Conv_1")):
+                sd[f"{t}.{fc}.weight"] = _conv2d_to_torch(_get(params, fpath + (fconv, "kernel")))
+                sd[f"{t}.{fc}.bias"] = _get(params, fpath + (fconv, "bias"))
+        else:
+            _, conv_k, fpath, has_bias = entry
+            sd[f"{conv_k}.weight"] = _conv2d_to_torch(_get(params, fpath + ("kernel",)))
+            if has_bias:
+                sd[f"{conv_k}.bias"] = _get(params, fpath + ("bias",))
+    return sd
+
+
 def flax_variables_to_torch_state_dict(variables) -> dict:
     """Flax ``{"params", "batch_stats"}`` -> reference-format numpy state_dict
     (the inverse of :func:`torch_state_dict_to_flax`; wrap values in

@@ -494,8 +494,14 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             dataset.eval()
             val_dices, val_class_dices = [], []
             for val_idx in val_3d_idxs:
-                hb = dataset.sample_batch([val_idx], use_modified=False)
-                val_batch = {"image": jnp.asarray(hb["image"]), "label": jnp.asarray(hb["label"])}
+                # Always a full 3D volume (reference :883 get_3d_item) — in 2D
+                # mode the eval step unstacks/restacks internally; val_3d_idxs
+                # are 3D indices, so sample_batch (2D-indexed there) is wrong.
+                s3 = dataset.get_3d_item(val_idx)
+                val_batch = {
+                    "image": jnp.asarray(s3["image"][None].astype(np.float32)),
+                    "label": jnp.asarray(s3["label"][None].astype(np.int32)),
+                }
                 if mesh is not None:
                     # single volume: replicate (batch 1 can't split over
                     # 'data'); multi-host safe — every process passes the
