@@ -333,6 +333,15 @@ def main(argv=None):
 
     if args.deadline > 0:
         _start_watchdog(args.deadline)
+    # The box can be re-imaged between rounds and the TPU plugin's registered
+    # platform NAME is not stable (r4: 'axon' -> 'tpu' while the env still
+    # exported the stale name) — normalize BEFORE any jax import or canary.
+    try:
+        from deep_staple_tpu.core.platform import normalize_jax_platforms
+
+        normalize_jax_platforms()
+    except Exception as e:
+        _eprint(f"platform normalization skipped: {e}")
     if not args.skip_canary:
         _wait_for_healthy_tpu()
 

@@ -31,6 +31,15 @@ def enable_persistent_compile_cache(min_compile_secs: float = 10.0) -> str | Non
     (read-only filesystem, old jax) degrade to a no-op rather than break the
     entry point.
     """
+    try:
+        # Every CLI entry point passes through here before touching the
+        # backend — the right moment to repair a stale JAX_PLATFORMS left by
+        # a box re-image (core/platform.py). No-op on cpu and memoized.
+        from .platform import normalize_jax_platforms
+
+        normalize_jax_platforms()
+    except Exception:
+        pass
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return os.environ["JAX_COMPILATION_CACHE_DIR"]
     repo_local = Path(__file__).resolve().parents[2] / ".jax_cache"

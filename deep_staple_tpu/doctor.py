@@ -107,11 +107,22 @@ def check_accelerator(timeout: int) -> bool:
         "print('ACCEL', jax.default_backend(), len(ds))"
     )
     status, out = _subprocess_probe(code, timeout)
+    renamed = ""
+    if status == "error" and "not in the list of known backends" in out:
+        # Box re-images can rename the TPU plugin's platform ('axon' -> 'tpu'
+        # in r4) while the env still exports the stale name; retry under the
+        # name this image actually registers (core/platform.py).
+        from .core.platform import _parse_known_backends, pick_replacement
+
+        repl = pick_replacement(_parse_known_backends(out))
+        stale = os.environ.get("JAX_PLATFORMS", "")
+        status, out = _subprocess_probe(code, timeout, {"JAX_PLATFORMS": repl})
+        renamed = f" (env names stale platform {stale!r}; works as {repl or 'auto'!r})"
     if status == "ok":
         # tagged line: plugin sitecustomize modules print warnings around it
         tagged = [l for l in out.splitlines() if l.startswith("ACCEL ")]
         _, backend, n = (tagged[-1].split() + ["?", "?"])[:3] if tagged else ("", "?", "?")
-        return _report("accelerator backend", OK, f"{backend}, {n} device(s)")
+        return _report("accelerator backend", OK, f"{backend}, {n} device(s){renamed}")
     if status == "timeout":
         return _report(
             "accelerator backend", FAIL,
