@@ -1,6 +1,7 @@
 from .voting import calc_dp_consensus
 from .staple import staple_consensus, StapleResult
 from .evaluate import build_consensus_dicts, evaluate_consensus, extract_consensus_dices
+from .interop import load_consensus_dicts_pth, save_consensus_dicts_pth
 
 _FIGURE_EXPORTS = ("save_consensus_boxplot", "save_atlas_weighting_figure")
 
@@ -22,6 +23,8 @@ __all__ = [
     "build_consensus_dicts",
     "evaluate_consensus",
     "extract_consensus_dices",
+    "load_consensus_dicts_pth",
+    "save_consensus_dicts_pth",
     "save_consensus_boxplot",
     "save_atlas_weighting_figure",
 ]

@@ -34,6 +34,12 @@ def build_consensus_dicts(snapshot: dict) -> dict:
                 "expert_label": np.asarray(snapshot["labels"][i]),
                 "prediction": np.asarray(snapshot["train_predictions"][i]),
             }
+            # Real reference artifacts carry an image_path per fixed image —
+            # their nnU-Net prep REQUIRES the key to exist
+            # (nnunet_prepare_dataparameter_consensus_data.py:39 removes it).
+            paths = snapshot.get("image_paths")
+            if paths is not None and i < len(paths):
+                fixed["image_path"] = str(paths[i])
         moving = fixed.get(m_id, {})
         moving["warped_label"] = np.asarray(snapshot["modified_labels"][i])
         moving["data_parameter"] = float(np.asarray(snapshot["data_parameters"][i]).reshape(()))
@@ -104,11 +110,25 @@ def evaluate_consensus(
         fixed["dp_consensus_oracle_dice"] = dp_dsc
         fixed["staple_consensus_oracle_dice"] = staple_dsc
 
-    if out_path is not None:
-        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
-        with open(out_path, "wb") as f:
-            pickle.dump(consensus_dicts, f)
+    _save_consensus_dicts(consensus_dicts, out_path)
     return consensus_dicts
+
+
+def _save_consensus_dicts(consensus_dicts: dict, out_path) -> None:
+    """Persist: ``.pth`` → the reference torch schema (interop.py), readable
+    by the reference's cell-7 extractor and nnU-Net prep; anything else →
+    native pickle."""
+    if out_path is None:
+        return
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    if out_path.suffix == ".pth":
+        from .interop import save_consensus_dicts_pth
+
+        save_consensus_dicts_pth(out_path, consensus_dicts)
+        return
+    with open(out_path, "wb") as f:
+        pickle.dump(consensus_dicts, f)
 
 
 def _evaluate_batched(consensus_dicts: dict, staple_max_iterations: int, out_path):
@@ -153,18 +173,21 @@ def _evaluate_batched(consensus_dicts: dict, staple_max_iterations: int, out_pat
             fixed["dp_consensus_oracle_dice"] = np.asarray(dp_dice[ci])[None]
             fixed["staple_consensus_oracle_dice"] = np.asarray(st_dice[ci])[None]
 
-    if out_path is not None:
-        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
-        with open(out_path, "wb") as f:
-            pickle.dump(consensus_dicts, f)
+    _save_consensus_dicts(consensus_dicts, out_path)
     return consensus_dicts
 
 
 def extract_consensus_dices(consensus_dicts_or_path):
-    """Mean oracle dices (cell 7)."""
+    """Mean oracle dices (cell 7). Accepts the native dict/pickle or a
+    reference-schema ``.pth`` (cell 6:96-98 torch format)."""
     if not isinstance(consensus_dicts_or_path, dict):
-        with open(consensus_dicts_or_path, "rb") as f:
-            consensus_dicts_or_path = pickle.load(f)
+        if Path(consensus_dicts_or_path).suffix == ".pth":
+            from .interop import load_consensus_dicts_pth
+
+            consensus_dicts_or_path = load_consensus_dicts_pth(consensus_dicts_or_path)
+        else:
+            with open(consensus_dicts_or_path, "rb") as f:
+                consensus_dicts_or_path = pickle.load(f)
     dp, st = [], []
     for fixed in consensus_dicts_or_path.values():
         dp.append(fixed["dp_consensus_oracle_dice"])

@@ -108,6 +108,113 @@ def test_snapshot_pth_export_reference_format(tmp_path, rng):
     np.testing.assert_array_equal(out["labels"], labels)
 
 
+def test_consensus_dict_pth_reference_interop(tmp_path, rng):
+    """Per-experiment consensus dicts persisted as `.pth` must load where the
+    reference's postprocessing expects (`consensus.ipynb` cell 6:96-98 schema;
+    consumed by cell 7 `extract_consensus_dices`, cell 13's atlas-weighting
+    figure, and nnunet_prepare_dataparameter_consensus_data.py:34-41) — the
+    same interop guarantee snapshots already have."""
+    torch = pytest.importorskip("torch")
+    from deep_staple_tpu.consensus import (
+        evaluate_consensus,
+        extract_consensus_dices,
+        load_consensus_dicts_pth,
+    )
+
+    # 2 fixed images x 3 atlases (STAPLE needs >= 3 raters), tiny volumes.
+    n_fixed, n_atlas, shape = 2, 3, (6, 5, 4)
+    d_ids, labels, mods, dps = [], [], [], []
+    for fi in range(n_fixed):
+        f_id = f"{100 + fi}l"
+        expert = (rng.rand(*shape) > 0.7).astype(np.int32)
+        for mi in range(n_atlas):
+            d_ids.append(f"{f_id}:m{200 + mi}l")
+            labels.append(expert)
+            noisy = expert.copy()
+            noisy[rng.rand(*shape) > 0.9] ^= 1
+            mods.append(noisy.astype(np.int32))
+            dps.append(rng.randn())
+    n = len(d_ids)
+    snapshot = {
+        "data_parameters": np.asarray(dps, np.float32),
+        "d_ids": d_ids,
+        "dataset_idxs": np.arange(n, dtype=np.int32),
+        "image_paths": [f"/data/img_{i}.nii.gz" for i in range(n)],
+        "label_paths": [f"/data/lbl_{i}.nii.gz" for i in range(n)],
+        "labels": np.stack(labels),
+        "modified_labels": np.stack(mods),
+        "train_predictions": np.stack(labels),
+        "disturb_flags": np.zeros(n, bool),
+    }
+
+    pth = tmp_path / "consensus_dict_synthetic.pth"
+    cd = evaluate_consensus(snapshot, out_path=pth, staple_max_iterations=30)
+
+    raw = torch.load(pth)
+    assert set(raw) == {"100l", "101l"}
+    for f_id, fixed in raw.items():
+        # nnunet_prepare...py:34-41 discovers moving ids by removing EXACTLY
+        # these keys — a missing one raises ValueError, an extra fixed-level
+        # key would be misread as a moving id and crash on ['warped_label'].
+        m_ids = list(fixed.keys())
+        for k in (
+            "dp_consensus", "staple_consensus", "expert_label", "prediction",
+            "image_path", "dp_consensus_oracle_dice", "staple_consensus_oracle_dice",
+        ):
+            m_ids.remove(k)
+        # m_id = _id[6:]: the 'm' marker is consumed (reference cell 6:35,
+        # cell 13's moving ids are bare '102l'-style)
+        assert sorted(m_ids) == ["200l", "201l", "202l"]
+        # its dense reads
+        assert fixed["expert_label"].is_sparse
+        expert = fixed["expert_label"].to_dense()
+        assert expert.shape == shape and expert.dtype == torch.int64
+        for m in m_ids:
+            assert fixed[m]["warped_label"].to_dense().shape == shape
+        # cell 13's access patterns: prediction batch dim, sigmoid(dp).item(),
+        # sensitivity as a bare multiplier
+        assert fixed["prediction"].to_dense().shape == (1,) + shape
+        overlay = torch.zeros(shape[:2])
+        for m in m_ids:
+            w = fixed[m]["warped_label"].to_dense()
+            overlay += w[:, :, 2].float() * torch.sigmoid(fixed[m]["data_parameter"]).item()
+            overlay += w[:, :, 2].float() * fixed[m]["staple_sensitivity"]
+        # cell 9/13 uses torch.nn.functional.one_hot(...long()) on consensi
+        torch.nn.functional.one_hot(fixed["dp_consensus"].to_dense(), 2)
+
+    # cell 7 extract_consensus_dices pattern on the raw torch load
+    dp_t = torch.cat([raw[f]["dp_consensus_oracle_dice"] for f in raw])[:, 1]
+    st_t = torch.cat([raw[f]["staple_consensus_oracle_dice"] for f in raw])[:, 1]
+    assert dp_t.shape == st_t.shape == (n_fixed,)
+    assert float(dp_t.mean()) > 0.5  # mild corruption: consensus near expert
+
+    # native loader round-trips to the in-memory evaluation result
+    back = load_consensus_dicts_pth(pth)
+    for f_id, fixed in cd.items():
+        np.testing.assert_array_equal(back[f_id]["dp_consensus"], fixed["dp_consensus"])
+        np.testing.assert_array_equal(back[f_id]["staple_consensus"], fixed["staple_consensus"])
+        np.testing.assert_array_equal(back[f_id]["expert_label"], fixed["expert_label"])
+        assert back[f_id]["image_path"] == fixed["image_path"]
+        for m_id, mv in fixed.items():
+            if not isinstance(mv, dict):
+                continue
+            np.testing.assert_array_equal(back[f_id][m_id]["warped_label"], mv["warped_label"])
+            assert back[f_id][m_id]["data_parameter"] == pytest.approx(mv["data_parameter"])
+            assert back[f_id][m_id]["staple_sensitivity"] == pytest.approx(
+                mv["staple_sensitivity"]
+            )
+        np.testing.assert_allclose(
+            back[f_id]["dp_consensus_oracle_dice"],
+            np.asarray(fixed["dp_consensus_oracle_dice"], np.float32).reshape(1, -1),
+            rtol=1e-6,
+        )
+
+    # our own cell-7 analogue accepts the .pth directly
+    dp_ours, st_ours = extract_consensus_dices(pth)
+    np.testing.assert_allclose(dp_ours, dp_t.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(st_ours, st_t.numpy(), rtol=1e-6)
+
+
 def test_np_ops_match_jax_versions(rng):
     import jax.numpy as jnp
 
