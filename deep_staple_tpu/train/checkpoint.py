@@ -38,6 +38,21 @@ def _orbax_checkpointer():
 
 def save_checkpoint(path, state: DeepStapleState, config: TrainConfig | None = None,
                     backend: str = "msgpack"):
+    """Write one checkpoint.
+
+    Multi-host: the msgpack backend is a plain local write — call it from
+    process 0 only (the driver does). The orbax backend is a GLOBAL
+    COLLECTIVE (`Checkpointer.save` barriers in
+    multihost.sync_global_processes): EVERY process must call it, with
+    ``path`` on storage shared across hosts; orbax then writes each array
+    from the process holding its primary replica. Filesystem cleanup and the
+    config sidecar stay process-0-only here, with a barrier between cleanup
+    and the collective save so no process enters ``save`` while the stale
+    directory is still being removed.
+    """
+    import jax
+
+    p0 = jax.process_index() == 0
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     if backend == "msgpack":
@@ -52,15 +67,33 @@ def save_checkpoint(path, state: DeepStapleState, config: TrainConfig | None = N
     elif backend == "orbax":
         ocp, ckptr = _orbax_checkpointer()
         target = (path / "state.orbax").resolve()
-        if target.exists():
-            import shutil
+        if p0:
+            if target.exists():
+                import shutil
 
-            shutil.rmtree(target)
+                shutil.rmtree(target)
+            (path / "state.msgpack").unlink(missing_ok=True)
+        if jax.process_count() > 1:
+            from ..parallel.multihost import coordination_barrier
+
+            coordination_barrier(f"ds_ckpt_clean:{path.name}")
+            # Orbax refuses host-local jax.Arrays in multi-host saves (leaves
+            # like sched_steps live outside the jitted step and are
+            # SingleDeviceSharding). They are replicated-by-construction
+            # across processes, so hand them to orbax as numpy, which its
+            # array handler writes once from the primary process.
+            import numpy as _np
+
+            state = jax.tree.map(
+                lambda x: _np.asarray(x)
+                if isinstance(x, jax.Array) and x.is_fully_addressable
+                else x,
+                state,
+            )
         ckptr.save(target, args=ocp.args.StandardSave(state))
-        (path / "state.msgpack").unlink(missing_ok=True)
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
-    if config is not None:
+    if config is not None and p0:
         (path / "config.json").write_text(json.dumps(config.to_dict(), indent=2, default=str))
 
 

@@ -142,15 +142,12 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             f"mesh_data_axis={config.mesh_data_axis} must divide over "
             f"{nproc} processes (equal batch rows per host)"
         )
-    if nproc > 1 and config.checkpoint_backend == "orbax":
-        # orbax's Checkpointer.save is a GLOBAL collective (it barriers in
-        # multihost.sync_global_processes), but this driver writes
-        # checkpoints from process 0 only — entering it on one process
-        # would deadlock the pod at the first save epoch.
-        raise ValueError(
-            "checkpoint_backend='orbax' is single-process only here; "
-            "use the msgpack backend (default) on multi-host pods"
-        )
+    # orbax's Checkpointer.save is a GLOBAL collective (it barriers in
+    # multihost.sync_global_processes), so unlike the process-0-only msgpack
+    # write, EVERY process enters save_checkpoint for the orbax backend;
+    # mdl_save_prefix must be shared storage (same requirement the resume
+    # cross-check below enforces).
+    orbax_collective_save = nproc > 1 and config.checkpoint_backend == "orbax"
     writer = writer or MetricWriter(
         jsonl_path=str(Path(config.output_dir) / f"{run_name}_metrics.jsonl")
         if (config.log_jsonl and is_main)
@@ -486,7 +483,9 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                     np.asarray(state.dp_params),
                 )
 
-            if is_main and ((epx % config.save_every == 0) or (epx + 1 == config.epochs)):
+            if (is_main or orbax_collective_save) and (
+                (epx % config.save_every == 0) or (epx + 1 == config.epochs)
+            ):
                 _path = Path(config.mdl_save_prefix) / f"{run_name}_fold{fold_idx}_epx{epx}"
                 save_checkpoint(_path, state, config, backend=config.checkpoint_backend)
 

@@ -36,6 +36,11 @@ def main():
         ool_mode="fused",
         save_every=1000,
         save_labels=False,
+        # Orbax on multi-host: save_checkpoint is entered by BOTH processes
+        # as a global collective (train/checkpoint.py); epx 0 saves
+        # (0 % save_every == 0), giving the e2e run a real 2-process
+        # collective checkpoint to restore below.
+        checkpoint_backend="orbax",
         lr_inst_param=0.2,
         output_dir=os.path.join(out_dir, "out"),
         mdl_save_prefix=os.path.join(out_dir, "models"),
@@ -62,6 +67,26 @@ def main():
     results = train_dl("mh-e2e", config, dataset, atlas_count=1)
     dp = np.asarray(results[0]["state"].dp_params)
     print("DP_VECTOR", " ".join(f"{v:.6e}" for v in dp), flush=True)
+
+    # Multi-host orbax round-trip: restore the collective save both
+    # processes just wrote and check it reproduces the final state.
+    import jax
+
+    from deep_staple_tpu.train.checkpoint import checkpoint_exists, restore_checkpoint
+
+    ckpt = os.path.join(out_dir, "models", "mh-e2e_fold0_epx0")
+    assert checkpoint_exists(ckpt), ckpt
+    assert os.path.isdir(os.path.join(ckpt, "state.orbax"))
+    template = jax.tree.map(
+        lambda x: np.zeros(x.shape, x.dtype) if hasattr(x, "shape") else x,
+        results[0]["state"],
+    )
+    restored = restore_checkpoint(ckpt, template)
+    np.testing.assert_array_equal(np.asarray(restored.dp_params), dp)
+    np.testing.assert_array_equal(
+        np.asarray(restored.step), np.asarray(results[0]["state"].step)
+    )
+    print("ORBAX_ROUNDTRIP_OK", flush=True)
 
 
 if __name__ == "__main__":

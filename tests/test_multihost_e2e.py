@@ -91,6 +91,13 @@ def test_two_process_train_matches_single_process_mesh(fixture_dir, tmp_path):
     snapshots = list((out_dir / "out").rglob("train_label_snapshot.npz"))
     assert len(snapshots) == 1
 
+    # Orbax on multi-host: the driver's save is a 2-process collective
+    # (checkpoint_backend='orbax' in the worker config) and both processes
+    # restored it back to the exact final state in-worker.
+    assert (out_dir / "models" / "mh-e2e_fold0_epx0" / "state.orbax").is_dir()
+    for pid, out in enumerate(outs):
+        assert "ORBAX_ROUNDTRIP_OK" in out, f"process {pid}:\n{out[-2000:]}"
+
     # Same training on ONE process with the same 8-device mesh: the host
     # split must not change global semantics.
     single = subprocess.run(
