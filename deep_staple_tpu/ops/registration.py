@@ -232,3 +232,103 @@ def sparse_minconv(multi_data_cost, candidates_edges0, candidates_edges1):
     """Sparse min-conv over candidate displacement sets (reference :244-246)."""
     diff = candidates_edges0[:, None, :, :] - candidates_edges1[:, :, None, :]
     return jnp.min(multi_data_cost[:, None, :] + jnp.sum(diff**2, axis=3), axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Continuous affine registration (first-party replacement for the reference's
+# BRAINSResample registration step, data_conversion.py:210-234).
+# ---------------------------------------------------------------------------
+
+
+def _normalized_affine_grid(mat, trans, out_shape):
+    """Grid (1, D, H, W, 3) of normalized (x, y, z) sample coords for
+    grid_sample_3d (align_corners=False): n_mov = mat @ n_fix + trans in
+    (x, y, z) == (W, H, D) axis order."""
+    D, H, W = out_shape
+    zs = (2.0 * jnp.arange(D, dtype=jnp.float32) + 1.0) / D - 1.0
+    ys = (2.0 * jnp.arange(H, dtype=jnp.float32) + 1.0) / H - 1.0
+    xs = (2.0 * jnp.arange(W, dtype=jnp.float32) + 1.0) / W - 1.0
+    gz, gy, gx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    base = jnp.stack([gx, gy, gz], axis=-1)  # (D, H, W, 3) in (x, y, z)
+    warped = jnp.einsum("dhwj,ij->dhwi", base, mat) + trans
+    return warped[None]
+
+
+def _resample_normalized(vol, mat, trans, out_shape, mode="bilinear"):
+    grid = _normalized_affine_grid(mat, trans, out_shape)
+    out = grid_sample_3d(vol[None, None], grid, mode=mode, padding_mode="border",
+                         align_corners=False)
+    return out[0, 0]
+
+
+def _znorm(v):
+    v = v.astype(jnp.float32)
+    return (v - jnp.mean(v)) / (jnp.std(v) + 1e-6)
+
+
+def affine_register(fixed, moving, scales=(4, 2, 1), iters=(120, 80, 40),
+                    lr: float = 0.03) -> np.ndarray:
+    """Estimate the affine map from FIXED voxel indices to MOVING voxel
+    indices by multi-resolution SSD gradient descent.
+
+    First-party equivalent of the registration the reference consumes as
+    pre-computed `.tfm` files (`data_conversion.py:491-516` — the TCIA
+    dataset ships `inv_T1_LPS_to_T2_LPS.tfm` per case; this estimator covers
+    datasets that don't). Parameterizes the map in align_corners=False
+    normalized coordinates (invariant under resampling, so the SAME
+    parameters are optimized at every pyramid scale), optimizes
+    z-normalized-intensity SSD with Adam via jax.grad through the trilinear
+    sampler, and returns a (4, 4) homogeneous matrix in (i, j, k) == (D, H, W)
+    voxel-index convention: ``v_mov = M @ v_fix``.
+
+    fixed/moving: (D, H, W) float arrays (need not be the same shape).
+    """
+    import optax
+
+    from .resample import resize_nd
+
+    fixed = _znorm(jnp.asarray(fixed))
+    moving = _znorm(jnp.asarray(moving))
+
+    params = {
+        "mat": jnp.eye(3, dtype=jnp.float32),
+        "trans": jnp.zeros((3,), jnp.float32),
+    }
+
+    for scale, n_it in zip(scales, iters):
+        f_s = resize_nd(fixed, tuple(max(1, s // scale) for s in fixed.shape),
+                        mode="linear") if scale > 1 else fixed
+        m_s = resize_nd(moving, tuple(max(1, s // scale) for s in moving.shape),
+                        mode="linear") if scale > 1 else moving
+
+        def loss_fn(p, f_s=f_s, m_s=m_s):
+            warped = _resample_normalized(m_s, p["mat"], p["trans"], f_s.shape)
+            return jnp.mean((warped - f_s) ** 2)
+
+        tx = optax.adam(lr)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(carry, _):
+            p, s = carry
+            g = jax.grad(loss_fn)(p)
+            updates, s = tx.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), None
+
+        (params, _), _ = jax.lax.scan(step, (params, opt_state), None, length=n_it)
+
+    # Normalized (x,y,z) map -> voxel (i,j,k) map. n = diag(2/s) v + (1/s - 1)
+    # per axis, with (x,y,z) = (W,H,D): build N_fix / N_mov and conjugate.
+    def _n(shape):  # voxel (i,j,k) -> normalized (x,y,z) homogeneous
+        D, H, W = shape
+        n = np.zeros((4, 4), np.float64)
+        n[0, 2], n[0, 3] = 2.0 / W, 1.0 / W - 1.0
+        n[1, 1], n[1, 3] = 2.0 / H, 1.0 / H - 1.0
+        n[2, 0], n[2, 3] = 2.0 / D, 1.0 / D - 1.0
+        n[3, 3] = 1.0
+        return n
+
+    A = np.eye(4)
+    A[:3, :3] = np.asarray(params["mat"], np.float64)
+    A[:3, 3] = np.asarray(params["trans"], np.float64)
+    return np.linalg.inv(_n(moving.shape)) @ A @ _n(fixed.shape)

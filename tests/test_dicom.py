@@ -124,3 +124,90 @@ def test_convert_case(dicom_case, tmp_path):
 
     lbl = load_nifti(out / "vs_gk_1_Label.nii.gz").get_fdata()
     assert lbl.max() == 1 and lbl.sum() > 0
+
+
+@pytest.fixture
+def dicom_case_two_series(tmp_path):
+    """T1 + T2 series with DIFFERENT geometries: the T1 stack starts 2 slices
+    (4mm) deeper, so resampling T1 onto the T2 grid must shift the content by
+    +2 slices — detectable in voxel space."""
+    case = tmp_path / "vs_gk_2"
+    (case / "MR_t1").mkdir(parents=True)
+    (case / "MR_t2").mkdir()
+    (case / "RTSTRUCT").mkdir()
+    for z in range(5):
+        _write_slice(case / "MR_t2" / f"slice{z}.dcm", z, value_base=100)
+    for z in range(5):
+        # T1 slices at world z = (z + 2) * 2mm, pixel values tied to WORLD z
+        # so registered content can be compared across the two grids
+        path = case / "MR_t1" / f"slice{z}.dcm"
+        pix = (np.full(8 * 10, 50 + 10 * (z + 2), np.uint16)).tobytes()
+        body = b"".join(
+            [
+                _el(0x0008, 0x0060, b"CS", _pad("MR")),
+                _el(0x0020, 0x0032, b"DS", _pad(f"0\\0\\{(z + 2) * 2.0}")),
+                _el(0x0020, 0x0037, b"DS", _pad("1\\0\\0\\0\\1\\0")),
+                _el(0x0028, 0x0010, b"US", struct.pack("<H", 8)),
+                _el(0x0028, 0x0011, b"US", struct.pack("<H", 10)),
+                _el(0x0028, 0x0030, b"DS", _pad("1.0\\1.0")),
+                _el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+                _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+                _el(0x7FE0, 0x0010, b"OW", pix),
+            ]
+        )
+        _file(path, body)
+    _write_rtstruct(case / "RTSTRUCT" / "rs.dcm")
+    return case
+
+
+def test_convert_case_register_t2_with_shipped_tfm(dicom_case_two_series, tmp_path):
+    """--register T2 parity (`data_conversion.py:488-496,541-548`): the
+    shipped identity .tfm resamples T1 onto the T2 grid; the geometric slice
+    offset between the stacks must be resolved by the resample."""
+    from deep_staple_tpu.data.nifti import load_nifti
+    from deep_staple_tpu.tools.register import write_itk_tfm
+
+    # shared frame of reference: identity transform (the real dataset ships
+    # non-trivial inv_T1_LPS_to_T2_LPS.tfm files; geometry still differs)
+    write_itk_tfm(
+        dicom_case_two_series / "MR_t1" / "inv_T1_LPS_to_T2_LPS.tfm", np.eye(4)
+    )
+    out = tmp_path / "out"
+    written = convert_case(dicom_case_two_series, out, register="T2")
+    names = sorted(p.name for p in written)
+    assert names == [
+        "vs_gk_2_Label.nii.gz",
+        "vs_gk_2_mr_t1.nii.gz",
+        "vs_gk_2_mr_t1_refT2.nii.gz",
+        "vs_gk_2_mr_t2.nii.gz",
+        "vs_gk_2_mr_t2_refT2.nii.gz",
+    ]
+    reg = load_nifti(out / "vs_gk_2_mr_t1_refT2.nii.gz").get_fdata()
+    t2 = load_nifti(out / "vs_gk_2_mr_t2.nii.gz").get_fdata()
+    assert reg.shape == t2.shape
+    # T2 grid slice s is at world z = 2s mm; T1 content there has value
+    # 50 + 10 * (world_z / 2) = 50 + 10 * s; T1 only covers world slices 2-6.
+    for s in range(2, 5):
+        np.testing.assert_allclose(reg[:, :, s], 50 + 10 * s, rtol=1e-6)
+    assert reg[:, :, 0].max() == 0.0  # outside the T1 stack -> default 0
+    # the label rasterizes on the reference (T2) grid
+    lbl = load_nifti(out / "vs_gk_2_Label.nii.gz").get_fdata()
+    assert lbl.shape == t2.shape and lbl.sum() > 0
+
+
+def test_convert_case_register_estimates_when_no_tfm(dicom_case_two_series, tmp_path):
+    """Without a shipped .tfm the converter estimates the affine first-party
+    (a capability the reference LACKS — it hard-requires the dataset's
+    transform files). The synthetic stacks share a world frame, so the
+    estimate must stay near identity and the resample must still undo the
+    2-slice geometric offset."""
+    from deep_staple_tpu.data.nifti import load_nifti
+
+    out = tmp_path / "out_est"
+    convert_case(dicom_case_two_series, out, register="T2")
+    reg = load_nifti(out / "vs_gk_2_mr_t1_refT2.nii.gz").get_fdata()
+    # constant-per-slice volumes leave translation along z observable; the
+    # estimator must keep the content within ~half a slice of the truth
+    for s in (3, 4):
+        got = float(np.median(reg[:, :, s]))
+        assert abs(got - (50 + 10 * s)) < 6.0, (s, got)
