@@ -28,17 +28,27 @@ CIN, MID, COUT = 16, 144, 24
 ITERS = 20
 
 
+def _sync_scalar(out):
+    """Force completion by fetching ONE element, sliced on-device first.
+
+    np.asarray(full_array) would pull the whole carry through the tunnel —
+    the r4 image's host link moves ~13 MB/s, so a 806 MB carry masquerades
+    as 2.8 s/iter of 'compute' (measured the hard way). Device-side [:1]
+    keeps the transfer at 2 bytes."""
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[:1])
+
+
 def timed(name, make_fn, *args):
     """make_fn(*args) -> fn where fn is jitted state-threaded loop; returns ms/iter."""
     fn = make_fn(*args)
     out = fn(*args)  # compile
-    # block_until_ready does NOT block over the tunnel — force a host
-    # transfer or the timed region absorbs the remote compile (minutes).
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    # block_until_ready does NOT block over the tunnel — force a (tiny)
+    # host transfer or the timed region absorbs the remote compile.
+    _sync_scalar(out)
     t0 = time.perf_counter()
     out = fn(*args)
-    # block_until_ready is unreliable over the tunnel: force a host transfer.
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    _sync_scalar(out)
     dt = (time.perf_counter() - t0) * 1e3 / ITERS
     print(f"{name}: {dt:.2f} ms/iter", flush=True)
     return dt

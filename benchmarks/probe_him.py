@@ -212,11 +212,14 @@ def time_fn(name, body, x):
             0, ITERS, lambda i, c2: c2 * 0.999 + 0.001 * jnp.mean(body(c2)).astype(c2.dtype), x
         )
 
+    # sync via ONE element sliced on-device: block_until_ready is unreliable
+    # over the tunnel, and np.asarray(full carry) would drag the whole array
+    # through the ~13 MB/s host link (r4 image), swamping the timing.
     out = fn(x)
-    np.asarray(out).ravel()[:1]  # sync (block_until_ready unreliable on tunnel)
+    np.asarray(out.ravel()[:1])
     t0 = time.perf_counter()
     out = fn(x)
-    np.asarray(out).ravel()[:1]
+    np.asarray(out.ravel()[:1])
     dt = (time.perf_counter() - t0) * 1e3 / ITERS
     print(f"{name}: {dt:.2f} ms/iter", flush=True)
     return dt
