@@ -142,6 +142,18 @@ class GPipe2:
         devices = devices if devices is not None else jax.devices()
         if len(devices) < 2:
             raise ValueError("GPipe2 needs at least 2 devices")
+        # Surface the one semantics difference vs the unsplit model up front
+        # (param grads are exactly sequential-accumulation; BN stats are not).
+        import warnings
+
+        warnings.warn(
+            "GPipe2: with n_micro > 1, BatchNorm batch_stats follow "
+            "parallel-accumulation semantics (each microbatch updates from "
+            "the same initial stats, then the momentum updates are averaged) "
+            "— NOT the serially-threaded stats of a sequential loop. Param "
+            "gradients are exact. See the module docstring.",
+            stacklevel=2,
+        )
         self.d0, self.d1 = devices[0], devices[1]
         self.loss_fn = loss_fn
         self.stage0 = PipelineStage0(
