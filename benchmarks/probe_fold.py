@@ -16,6 +16,20 @@ rewrites attack the padding:
 Block 5 (32 -> 192 -> 32, residual, @ 8x96x96x38) is the largest lom block.
 All variants are verified element-wise on CPU (--verify-only) before timing.
 
+ON-CHIP VERDICT (v5e-1, 2026-08-19): REJECTED.
+  * base fwd 26.91 ms/iter, transposed fwd 27.23 ms/iter — the transpose is
+    a no-op on the chip. XLA canonicalizes convolution operand layouts
+    internally, so reordering the *logical* spatial dims does not change the
+    physical (16,128) tiling the convs run on; the 1.26x padded-bytes win
+    the roofline predicts never materializes at the XLA level.
+  * folded fwd: compile OOM — the grouped-conv lowering of the folded
+    depthwise materializes a bf16[8,48,48,38,192,4] copy (17.2 GB > 16 GB
+    HBM). XLA's feature_group_count path expands fold-phase interactions
+    into a dense per-phase temp instead of keeping them grouped.
+Conclusion: tiled-layout padding cannot be attacked from the logical level;
+only a hand Pallas kernel (which owns its physical layout) can — see
+ops/fused_block_pallas.py.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/probe_fold.py
 CPU:   PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python -u benchmarks/probe_fold.py --verify-only
 """

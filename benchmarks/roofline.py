@@ -63,7 +63,19 @@ def tensor_bytes(spatial, c, padded: bool):
     return n * c * BF16
 
 
-def convbn_traffic(s_in, cin, s_out, cout, padded: bool):
+def tensor_bytes_folded(spatial, c, fold: int = 4):
+    """Tiled-layout bytes after 2x2 space-to-depth on the two MAJOR spatial
+    dims (positions / fold, channels x fold) — probe_him.py's exact rewrite.
+    Logical bytes are fold-invariant; only the (16,128) tile padding drops."""
+    d, h, w = spatial
+    side = {1: 1, 4: 2, 16: 4}[fold]
+    d, h, c = d // side, h // side, c * fold
+    wp = -(-w // 16) * 16
+    cp = -(-c // 128) * 128
+    return BATCH * d * h * wp * cp * BF16
+
+
+def convbn_traffic(s_in, cin, s_out, cout, padded, fold: int = 1):
     """Per-op-model fwd+bwd HBM bytes for conv + BN(train) + act.
 
     fwd: conv reads in, writes out; BN stats read out; normalize+act read
@@ -71,8 +83,12 @@ def convbn_traffic(s_in, cin, s_out, cout, padded: bool):
     dgrad reads grad writes din; wgrad reads grad + saved input.
     All bf16; weights negligible at these channel counts.
     """
-    r_in = tensor_bytes(s_in, cin, padded)
-    w_out = tensor_bytes(s_out, cout, padded)
+    if fold > 1:
+        r_in = tensor_bytes_folded(s_in, cin, fold)
+        w_out = tensor_bytes_folded(s_out, cout, fold)
+    else:
+        r_in = tensor_bytes(s_in, cin, padded)
+        w_out = tensor_bytes(s_out, cout, padded)
     fwd = r_in + w_out + w_out + (w_out + w_out)  # conv + stats + norm/act
     bwd = (
         (2 * w_out + w_out)  # act+BN backward (read g, read saved, write g')
@@ -114,42 +130,50 @@ def stage_rows():
         s_mid = s_out if (i == 0 or STRIDE[i] == 2) else spatial
         perop = {}
         fused = {}
-        for padded in (False, True):
+        for mode in ("logical", "padded", "folded"):
+            padded = mode != "logical"
+            fold = 4 if mode == "folded" else 1
             if i == 0:
-                f1, b1 = convbn_traffic(spatial, cin, s_out, mid, padded)
+                f1, b1 = convbn_traffic(spatial, cin, s_out, mid, padded, fold)
             else:
-                f1, b1 = convbn_traffic(spatial, cin, spatial, mid, padded)
+                f1, b1 = convbn_traffic(spatial, cin, spatial, mid, padded, fold)
             dw_in = s_out if i == 0 else spatial
-            f2, b2 = convbn_traffic(dw_in, mid, s_mid, mid, padded)
-            f3, b3 = convbn_traffic(s_mid, mid, s_out, cout, padded)
+            f2, b2 = convbn_traffic(dw_in, mid, s_mid, mid, padded, fold)
+            f3, b3 = convbn_traffic(s_mid, mid, s_out, cout, padded, fold)
             res = (cin == cout and STRIDE[i] == 1 and i != 0)
-            resid = 2 * tensor_bytes(s_out, cout, padded) if res else 0
-            perop[padded] = f1 + f2 + f3 + b1 + b2 + b3 + 2 * resid
-            ff, fb = fused_block_traffic(spatial, cin, s_out, cout, padded)
-            fused[padded] = ff + fb
+            rb = (tensor_bytes_folded(s_out, cout, fold) if fold > 1
+                  else tensor_bytes(s_out, cout, padded))
+            resid = 2 * rb if res else 0
+            perop[mode] = f1 + f2 + f3 + b1 + b2 + b3 + 2 * resid
+            if mode != "folded":
+                ff, fb = fused_block_traffic(spatial, cin, s_out, cout, padded)
+                fused[padded] = ff + fb
         n_out = vox(s_out)
         flops = 3 * block_flops(n_out, cin, mid, cout, n_in=vox(spatial),
                                 k_first=3 if i == 0 else 1)  # fwd+dgrad+wgrad
         rows.append(
             (f"block{i} ({'him' if i < 2 else 'lom'}) {cin}->{mid}->{cout}"
              f" @{s_out[0]}x{s_out[1]}x{s_out[2]}",
-             perop[False], perop[True], fused[False], flops)
+             perop["logical"], perop["padded"], perop["folded"],
+             fused[False], flops)
         )
         spatial, cin = s_out, cout
 
     # ASPP at the lom output grid: 5 branches of 128ch + concat 640 -> 128
     n = vox(spatial)
     perop = {}
-    for padded in (False, True):
+    for mode in ("logical", "padded", "folded"):
+        padded = mode != "logical"
+        fold = 4 if mode == "folded" else 1
         t = 0
         for _ in range(5):
-            f, b = convbn_traffic(spatial, cin, spatial, 128, padded)
+            f, b = convbn_traffic(spatial, cin, spatial, 128, padded, fold)
             t += f + b
-        f, b = convbn_traffic(spatial, 5 * 128, spatial, 128, padded)
-        perop[padded] = t + f + b
+        f, b = convbn_traffic(spatial, 5 * 128, spatial, 128, padded, fold)
+        perop[mode] = t + f + b
     aspp_flops = 3 * sum(2 * n * cin * 128 * (k**3) for k in (1, 3, 3, 3, 3))
     rows.append((f"aspp 64->5x128->128 @{spatial[0]}x{spatial[1]}x{spatial[2]}",
-                 perop[False], perop[True],
+                 perop["logical"], perop["padded"], perop["folded"],
                  (tensor_bytes(spatial, cin, False) + tensor_bytes(spatial, 128, False)) * 3,
                  aspp_flops))
     return rows
@@ -160,25 +184,27 @@ def main():
     print(f"HBM roofline @ {HBM_GBPS:.0f} GB/s, MXU {MXU_TFLOPS:.0f} TFLOP/s bf16 "
           f"(v5e), bench workload b{BATCH} {AUG[0]}x{AUG[1]}x{AUG[2]}, fwd+bwd")
     print(f"{'stage':46s} {'logical ms':>10s} {'padded ms':>10s} "
-          f"{'fused ms':>9s} {'MXU ms':>7s}")
-    tot = [0.0, 0.0, 0.0, 0.0]
-    groups = {"him": [0.0, 0.0], "lom": [0.0, 0.0]}
-    for name, perop_l, perop_p, fused_l, flops in rows:
+          f"{'folded ms':>10s} {'fused ms':>9s} {'MXU ms':>7s}")
+    tot = [0.0, 0.0, 0.0, 0.0, 0.0]
+    groups = {"him": [0.0, 0.0, 0.0], "lom": [0.0, 0.0, 0.0]}
+    for name, perop_l, perop_p, perop_f, fused_l, flops in rows:
         lm = fmt_gb(perop_l) / HBM_GBPS * 1e3
         pm = fmt_gb(perop_p) / HBM_GBPS * 1e3
+        om = fmt_gb(perop_f) / HBM_GBPS * 1e3
         fm = fmt_gb(fused_l) / HBM_GBPS * 1e3
         cm = flops / (MXU_TFLOPS * 1e12) * 1e3
-        for k, v in zip(range(4), (lm, pm, fm, cm)):
+        for k, v in enumerate((lm, pm, om, fm, cm)):
             tot[k] += v
         for g in groups:
             if f"({g})" in name:
-                groups[g][0] += lm
-                groups[g][1] += pm
-        print(f"{name:46s} {lm:10.2f} {pm:10.2f} {fm:9.2f} {cm:7.2f}")
+                for k, v in enumerate((lm, pm, om)):
+                    groups[g][k] += v
+        print(f"{name:46s} {lm:10.2f} {pm:10.2f} {om:10.2f} {fm:9.2f} {cm:7.2f}")
     print(f"{'TOTAL (model fwd+bwd)':46s} {tot[0]:10.2f} {tot[1]:10.2f} "
-          f"{tot[2]:9.2f} {tot[3]:7.2f}")
-    for g, (lm, pm) in groups.items():
-        print(f"{g}: logical per-op floor {lm:.1f} ms, tiled-layout {pm:.1f} ms")
+          f"{tot[2]:10.2f} {tot[3]:9.2f} {tot[4]:7.2f}")
+    for g, (lm, pm, om) in groups.items():
+        print(f"{g}: logical per-op floor {lm:.1f} ms, tiled-layout {pm:.1f} ms, "
+              f"2x2-folded tiled {om:.1f} ms")
     print()
     print("'logical' = per-op XLA schedule floor on logical bytes; 'padded'")
     print("= same schedule on the (16,128)-tiled layout actually stored (W")
