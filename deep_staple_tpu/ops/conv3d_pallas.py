@@ -38,6 +38,21 @@ a ~2.7 ms HBM bound), but neither the 27-tap XLA multiply-reduce form
 whole depthwise stage (fwd 15.6 + grad_x 10.6 + grad_w 12.4) stays on XLA's
 grouped conv, and the Pallas depthwise direction is a recorded dead end.
 
+Round-4 probe (benchmarks/probe_vpu_dw.py) closed the last variant of the
+idea: the 27 per-tap minor-dim slices are NOT the bottleneck. Replacing them
+with sublane rotates (`pltpu.roll`) + full-padded-width FMAs + one final
+interior slice only moves 41.6 -> 37.5 ms, and a border-masked padded-W
+layout (no interior slice at all) only reaches 35.4 ms (0.62 eff TFLOP/s).
+The stencil is VPU *issue*-bound: rotate + mul + add are ~3 vector ops per
+tap-element against the v5e VPU's ~3.9 G-elem-ops/s, so ~2.8 ms of pure FMA
+becomes a hard ~30 ms of issue slots, vs XLA's MXU-based grouped conv at
+13.4 ms. (`pltpu.roll` also refuses bf16 operands: "Rotate with non-32-bit
+data".) Consequence recorded in VERDICT-r3 terms: a fused inverted-residual
+block kernel (expand MXU -> dw -> project MXU in VMEM) cannot win — its
+depthwise stage alone would cost more than XLA's entire per-op block chain
+(26.9 ms measured fwd for block 5), so the fusion lever is rejected with
+measurements, not skipped.
+
 Numerics: taps accumulate in f32; bit-exact vs the XLA grouped conv at
 bench shapes (measured max|diff| = 0.0); gated in tests/test_models.py.
 """
