@@ -62,7 +62,7 @@ def _enable_compile_cache():
 
 def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
                            ool_mode: str = "strict", augment_order: str = "reference",
-                           use_checkpointing: bool = True) -> float:
+                           use_checkpointing: bool = True, bn_mode: str = "batch") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -76,7 +76,7 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
     dataset_len = 1070
     config = TrainConfig(
         use_checkpointing=use_checkpointing, ool_mode=ool_mode, compute_dtype=compute_dtype,
-        augment_order=augment_order,
+        augment_order=augment_order, bn_mode=bn_mode,
     )
     model, _ = make_model(config, num_classes=2)
     state, tx = create_state(model, (1,) + AUG_SPATIAL + (1,), dataset_len)

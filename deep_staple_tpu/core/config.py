@@ -136,6 +136,17 @@ class TrainConfig:
     # 32-bit word, quantization variance carved out of the noise budget;
     # binary labels only). See ops/augment.py.
     augment_order: str = "reference"
+    # 'batch': exact nn.BatchNorm train-mode semantics (reference parity).
+    # 'async': normalize through the (stop-gradient) running statistics while
+    # still updating them from the current batch — one-step-stale stats break
+    # the stats->normalize sequential HBM dependency so XLA fuses both into a
+    # single read pass over each conv output (models/norm.py); fastest, but
+    # staleness amplifies early-training parameter jumps (measured transient
+    # in tests/test_norm.py). 'slab': same-batch statistics from a D-strided
+    # slab subsample — self-consistent (no transient), stats pass shrinks to
+    # 1/stride of the volume. Fast-preset bandwidth levers in the int6-warp
+    # spirit; DP-recovery-oracle gated.
+    bn_mode: str = "batch"
     use_checkpointing: bool = True
     # Device mesh for the production driver (train_dl): batches are sharded
     # over ('data',) and optionally the volume H axis over ('space',); state

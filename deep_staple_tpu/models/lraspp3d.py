@@ -37,6 +37,7 @@ from flax import linen as nn
 from ..ops.conv3d import depthwise_conv3d_shifted
 from ..ops.conv3d_pallas import depthwise_conv3d_pallas
 from ..ops.resample import resize_nd
+from .norm import AsyncBatchNorm, SlabBatchNorm
 
 # Backbone channel spec, reference :171-174 (for in_num=1).
 MID_CHANNELS = (32, 96, 96, 144, 144, 192, 192, 192, 384, 384)
@@ -165,6 +166,13 @@ class ConvBN(nn.Module):
     # XLA conv emitter (False); None = POINTWISE_MATMUL_DEFAULT. Equivalence
     # gate-tested in test_models.
     pointwise_matmul: Optional[bool] = None
+    # 'batch' = exact nn.BatchNorm (reference semantics). 'async' =
+    # one-step-stale normalization (models/norm.py): breaks the stats ->
+    # normalize HBM dependency so XLA fuses both into one read pass (fastest,
+    # but stale stats destabilize early training). 'slab' = same-batch stats
+    # from a D-strided slab subsample (stable; stats pass shrinks to
+    # 1/stride of the volume). Fast-preset bandwidth levers, DP-oracle gated.
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -201,13 +209,27 @@ class ConvBN(nn.Module):
                 kernel_init=self.kernel_init,
                 dtype=self.dtype,
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=self.axis_name if train else None,
-            dtype=self.dtype,
-        )(x)
+        if self.bn_mode in ("async", "slab"):
+            # Same param/stat paths as nn.BatchNorm (explicit name) + a
+            # 'count' scalar; see models/norm.py for the semantics.
+            norm_cls = AsyncBatchNorm if self.bn_mode == "async" else SlabBatchNorm
+            x = norm_cls(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.axis_name if train else None,
+                dtype=self.dtype,
+                name="BatchNorm_0",
+            )(x)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.axis_name if train else None,
+                dtype=self.dtype,
+                name="BatchNorm_0",
+            )(x)
         if self.act == "relu":
             x = nn.relu(x)
         elif self.act == "relu6":
@@ -225,22 +247,24 @@ class InvertedResidual3D(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     depthwise_impl: str = "auto"
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool):
         inc = x.shape[-1]
         residual = (inc == self.outc) and (self.stride == 1) and not self.first_full_conv
+        kw = dict(axis_name=self.axis_name, dtype=self.dtype, bn_mode=self.bn_mode)
         y = x
         if self.first_full_conv:
             # Block 0: full 3x3x3 stride-2 conv replaces the 1x1 expansion (:149-150).
-            y = ConvBN(self.midc, kernel=3, stride=2, act="relu6", axis_name=self.axis_name, dtype=self.dtype)(y, train)
+            y = ConvBN(self.midc, kernel=3, stride=2, act="relu6", **kw)(y, train)
         else:
-            y = ConvBN(self.midc, kernel=1, act="relu6", axis_name=self.axis_name, dtype=self.dtype)(y, train)
+            y = ConvBN(self.midc, kernel=1, act="relu6", **kw)(y, train)
         y = ConvBN(
             self.midc, kernel=3, stride=self.stride, groups=self.midc, act="relu6",
-            axis_name=self.axis_name, dtype=self.dtype, depthwise_impl=self.depthwise_impl,
+            depthwise_impl=self.depthwise_impl, **kw,
         )(y, train)
-        y = ConvBN(self.outc, kernel=1, act=None, axis_name=self.axis_name, dtype=self.dtype)(y, train)
+        y = ConvBN(self.outc, kernel=1, act=None, **kw)(y, train)
         if residual:
             y = y + x
         return y
@@ -252,6 +276,7 @@ class BackboneHigh3D(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     depthwise_impl: str = "auto"
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -259,7 +284,7 @@ class BackboneHigh3D(nn.Module):
             x = InvertedResidual3D(
                 MID_CHANNELS[i], OUT_CHANNELS[i], int(MID_STRIDE[i]),
                 first_full_conv=(i == 0), axis_name=self.axis_name, dtype=self.dtype,
-                depthwise_impl=self.depthwise_impl,
+                depthwise_impl=self.depthwise_impl, bn_mode=self.bn_mode,
             )(x, train)
         return x
 
@@ -270,6 +295,7 @@ class BackboneLow3D(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     depthwise_impl: str = "auto"
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -277,7 +303,7 @@ class BackboneLow3D(nn.Module):
             x = InvertedResidual3D(
                 MID_CHANNELS[i], OUT_CHANNELS[i], int(MID_STRIDE[i]),
                 axis_name=self.axis_name, dtype=self.dtype,
-                depthwise_impl=self.depthwise_impl,
+                depthwise_impl=self.depthwise_impl, bn_mode=self.bn_mode,
             )(x, train)
         return x
 
@@ -290,12 +316,13 @@ class ASPP3D(nn.Module):
     dropout_rate: float = 0.5
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool):
         conv = partial(
             ConvBN, act="relu", kernel_init=torch_default_kernel_init,
-            axis_name=self.axis_name, dtype=self.dtype,
+            axis_name=self.axis_name, dtype=self.dtype, bn_mode=self.bn_mode,
         )
         branches = [conv(self.out_channels, kernel=1)(x, train)]
         for rate in self.atrous_rates:
@@ -319,6 +346,7 @@ class LRASPPHead3D(nn.Module):
     inter_channels: int = 128
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, low, high, train: bool):
@@ -326,7 +354,8 @@ class LRASPPHead3D(nn.Module):
         low_channels = low.shape[-1]
         x = ConvBN(
             self.inter_channels, kernel=1, act="relu",
-            kernel_init=torch_default_kernel_init, axis_name=self.axis_name, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init, axis_name=self.axis_name,
+            dtype=self.dtype, bn_mode=self.bn_mode,
         )(high, train)
         s = jnp.mean(high, axis=(1, 2, 3), keepdims=True)
         s = nn.Conv(
@@ -360,6 +389,7 @@ class ConvHead3D(nn.Module):
     num_classes: int
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, low, high, train: bool):
@@ -370,7 +400,7 @@ class ConvHead3D(nn.Module):
         x = jnp.concatenate([low, high_rs], axis=-1)
         conv = partial(
             ConvBN, act="relu", kernel_init=torch_default_kernel_init,
-            axis_name=self.axis_name, dtype=self.dtype,
+            axis_name=self.axis_name, dtype=self.dtype, bn_mode=self.bn_mode,
         )
         x = conv(64, kernel=1)(x, train)
         x = conv(64, kernel=3)(x, train)
@@ -405,11 +435,17 @@ class MobileNetLRASPP3D(nn.Module):
     depthwise_impl: str = "auto"
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
+    # 'batch' = exact nn.BatchNorm (reference semantics); 'async' = one-step-
+    # stale normalization through the running stats; 'slab' = same-batch
+    # stats from a D-strided slab subsample (models/norm.py) — fast-preset
+    # HBM-bandwidth levers. Param/stat paths stay identical (plus one
+    # 'count' scalar per BN in batch_stats).
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_spatial = x.shape[1:4]
-        kw = dict(axis_name=self.axis_name, dtype=self.dtype)
+        kw = dict(axis_name=self.axis_name, dtype=self.dtype, bn_mode=self.bn_mode)
         bb_kw = dict(depthwise_impl=self.depthwise_impl, **kw)
 
         him_cls, lom_cls, aspp_cls = BackboneHigh3D, BackboneLow3D, ASPP3D

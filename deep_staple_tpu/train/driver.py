@@ -83,6 +83,7 @@ def make_model(config: TrainConfig, num_classes: int):
             use_checkpointing=config.use_checkpointing,
             dtype=dtype,
             axis_name=None,
+            bn_mode=config.bn_mode,
         ),
         in_ch,
     )
