@@ -328,12 +328,26 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             model, tx, config, class_weights, fixed_weighting, pre_interpolation_factor=pre_interp
         )
         eval_step = make_eval_step(model, config, num_classes)
+        # Async-BN warmup: the first bn_warmup_epochs run the 'slab' step
+        # (identical variable tree incl. the 'count' scalars, self-consistent
+        # same-batch stats) so running stats and params co-adapt before the
+        # stale-stats normalization takes over — without this, async BN's
+        # step-1 normalization amplifies Adam's first full-lr jump through
+        # low-variance channels (core/config.py bn_warmup_epochs).
+        warmup_step, warmup_epochs = None, 0
+        if config.bn_mode == "async" and config.bn_warmup_epochs > 0:
+            warmup_epochs = config.bn_warmup_epochs
+            warmup_model, _ = make_model(config.replace(bn_mode="slab"), num_classes)
+            warmup_step = make_train_step(
+                warmup_model, tx, config, class_weights, fixed_weighting,
+                pre_interpolation_factor=pre_interp,
+            )
 
         rng = jax.random.PRNGKey(config.seed + 1000 * fold_idx)
         t_start = time.time()
         sched_steps = int(np.asarray(state.sched_steps))
         step_times = []
-        first_dispatch = True
+        dispatched_steps = set()
 
         for epx in range(epx_start, config.epochs):
             global_idx = get_global_idx(fold_idx, epx, config.epochs)
@@ -403,19 +417,23 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                     else cosine_warm_restarts_lr(config.lr, sched_steps)
                 )
                 rng, step_rng = jax.random.split(rng)
-                if first_dispatch and nproc > 1:
+                step_fn = warmup_step if epx < warmup_epochs and warmup_step is not None else train_step
+                if nproc > 1 and id(step_fn) not in dispatched_steps:
                     # AOT-compile, then rendezvous all processes before the
-                    # first dispatch: the step's collectives open their
-                    # transport rendezvous at dispatch time, and compile/
-                    # dataset-load skew between hosts can exceed the
-                    # transport's connect timeout (multihost.py).
+                    # first dispatch (of EACH step variant — the warmup and
+                    # steady steps are separate compilations): the step's
+                    # collectives open their transport rendezvous at dispatch
+                    # time, and compile/dataset-load skew between hosts can
+                    # exceed the transport's connect timeout (multihost.py).
                     from ..parallel.multihost import coordination_barrier
 
-                    train_step.lower(state, batch, lr, step_rng).compile()
-                    coordination_barrier(f"first-train-step-fold{fold_idx}")
-                first_dispatch = False
+                    step_fn.lower(state, batch, lr, step_rng).compile()
+                    coordination_barrier(
+                        f"first-train-step-fold{fold_idx}-{len(dispatched_steps)}"
+                    )
+                dispatched_steps.add(id(step_fn))
                 t0 = time.time()
-                state, metrics = train_step(state, batch, lr, step_rng)
+                state, metrics = step_fn(state, batch, lr, step_rng)
                 if pending_metrics is not None:
                     _consume(pending_metrics)
                 pending_metrics = metrics

@@ -180,9 +180,21 @@ def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighti
                     # Reference-exact: second forward with the UPDATED params;
                     # BN runs in train mode again so running stats advance twice
                     # per batch like the reference (:724-729).
-                    dp_logits, new_stats = fwd(
-                        model, new_params, new_stats, img, True, rng_drop2
-                    )
+                    #
+                    # bn_mode='async' exception: FWD#2 must normalize through
+                    # the STEP-START stats, not the ones FWD#1 just updated —
+                    # normalizing activations of a regime the fresh stats were
+                    # not measured under is the async staleness amplification
+                    # (measured: dp_loss 2.9e7 at step 0 on random init).
+                    # Running stats then advance once per batch in this mode.
+                    if getattr(model, "bn_mode", "batch") == "async":
+                        dp_logits, _ = fwd(
+                            model, new_params, state.batch_stats, img, True, rng_drop2
+                        )
+                    else:
+                        dp_logits, new_stats = fwd(
+                            model, new_params, new_stats, img, True, rng_drop2
+                        )
                 else:
                     dp_logits = logits
                 dp_logits = jax.lax.stop_gradient(dp_logits)

@@ -31,11 +31,14 @@ def test_ratio_metric():
 # training run): their image warps are numerics-gated against the exact warp
 # in test_fast_warp (~0.4% / ~1% voxel deltas, labels bit-exact), which bounds
 # them between the two oracle-tested endpoints.
-@pytest.mark.parametrize("mode,augment_order", [
-    (LabelDisturbanceMode.AFFINE, "reference"),
-    (LabelDisturbanceMode.AFFINE, "fast-int6"),
+@pytest.mark.parametrize("mode,augment_order,bn_mode", [
+    (LabelDisturbanceMode.AFFINE, "reference", "batch"),
+    # Production-preset gate: fused int6 warp AND async BN with its 1-epoch
+    # slab warmup (TrainConfig.tpu_production) — the paper's core effect must
+    # survive the full set of fast-preset tradeoffs together.
+    (LabelDisturbanceMode.AFFINE, "fast-int6", "async"),
 ])
-def test_disturbed_samples_sink_to_low_dp(tmp_path, mode, augment_order):
+def test_disturbed_samples_sink_to_low_dp(tmp_path, mode, augment_order, bn_mode):
     # clean dataset (no atlas override) so the disturbance engine is allowed
     generate_synthetic_crossmoda(tmp_path, num_cases=10, atlas_count=1, size=(16, 16, 16), seed=3)
     closure = get_crossmoda_data_load_closure(
@@ -53,7 +56,7 @@ def test_disturbed_samples_sink_to_low_dp(tmp_path, mode, augment_order):
         use_checkpointing=False, ool_mode="fused", save_every=1000,
         save_labels=False, log_jsonl=False, lr_inst_param=0.2,
         disturbance_mode=mode, disturbance_strength=3.0, disturbed_percentage=0.4,
-        augment_order=augment_order,
+        augment_order=augment_order, bn_mode=bn_mode,
         output_dir=str(tmp_path / "out"), mdl_save_prefix=str(tmp_path / "models"),
     )
     results = train_dl("disturb-test", config, dataset, atlas_count=1)
