@@ -346,15 +346,17 @@ def main(argv=None):
         _wait_for_healthy_tpu()
 
     # HEADLINE: the production preset (TrainConfig.tpu_production — fused OOL,
-    # fast-int6 augment order: image + both labels in ONE 2-gather fused warp,
-    # bf16 compute, no remat, async BN). Remat stays off: it is the
-    # reference's GPU-memory workaround (MobileNet_LR_ASPP_3D.py:206-222),
-    # semantically a no-op; at these shapes activations fit v5e HBM and the
-    # extra forward costs ~240ms/step (profiler-attributed). bn_mode='async'
-    # is the steady-state step the driver runs after its 1-epoch slab warmup
-    # (models/norm.py; measured 650.7 -> 558.0 ms on v5e-1).
+    # fast-sep augment order: separable 3-pass warp on Mosaic lane-gather
+    # kernels (ops/sep_warp.py; 558 -> 446 ms/step vs the int6 fused
+    # arbitrary-index warp — benchmarks/probe_sep_step.py), bf16 compute,
+    # no remat, async BN). Remat stays off: it is the reference's GPU-memory
+    # workaround (MobileNet_LR_ASPP_3D.py:206-222), semantically a no-op; at
+    # these shapes activations fit v5e HBM and the extra forward costs
+    # ~240ms/step (profiler-attributed). bn_mode='async' is the steady-state
+    # step the driver runs after its 1-epoch slab warmup (models/norm.py;
+    # measured 650.7 -> 558.0 ms on v5e-1).
     sec_tpu = measure_tpu_train_step(
-        args.steps, args.dtype, ool_mode="fused", augment_order="fast-int6",
+        args.steps, args.dtype, ool_mode="fused", augment_order="fast-sep",
         use_checkpointing=False, bn_mode="async",
     )
     _HEADLINE_SEC.append(sec_tpu)

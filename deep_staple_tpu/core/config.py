@@ -202,19 +202,21 @@ class TrainConfig:
           * ool_mode='fused': the DP loss consumes stop_gradient(logits) from
             the CE pass instead of a second forward — same DP gradient,
             evaluated at the pre-update params (one forward less).
-          * augment_order='fast-int6': warp at base resolution then
-            matmul-resize (same continuous warp field and augmentation
-            distribution, 3.4x fewer gathered voxels) with image AND both
-            labels fused into ONE 2-gather warp — each 32-bit word carries
-            the 2x2 in-plane corner quad as four int6 image quanta plus the
-            same quad's 2-bit (label | modified<<1) codes. The int6
-            quantizer's variance is carved out of the pipeline's own
-            additive-noise budget (strength 0.05, injected BEFORE packing,
-            so total noise is unchanged and the noise dithers the
-            quantizer); labels stay exact. Binary labels only — the driver
-            auto-downgrades to 'fast-int8' (exact labels, 3 gathers) for
-            other class counts (train/step.py::resolve_augment_order);
-            'fast-bf16' and the exact-f32 orders remain available.
+          * augment_order='fast-sep': warp at base resolution then
+            matmul-resize, with the warp itself as a separable 3-pass
+            scanline resampling (ops/sep_warp.py) — Mosaic lane-gather
+            kernels at ~2.3G elem/s replace the scalar-issue-bound
+            arbitrary-index gathers (~122M idx/s). The affine part inverts
+            exactly; the b-spline part by a coarse-lattice fixed point
+            (in-range coordinate error p99 < 0.25 voxel, labels ~99.7%
+            identical to the joint warp — tests/test_sep_warp.py). Measured:
+            558 -> 446 ms/step on v5e-1 (benchmarks/probe_sep_step.py).
+            Binary labels only — the driver auto-downgrades to 'fast-int8'
+            for other class counts (train/step.py::resolve_augment_order),
+            and to 'fast-int6' (the previous production order, 2 fused
+            arbitrary-index gathers) on multi-device TPU meshes, where
+            pallas_call does not shard under GSPMD. 'fast-bf16' and the
+            exact-f32 orders remain available.
           * compute_dtype='bfloat16': MXU-native precision, f32 params.
           * use_checkpointing=False: remat is the reference's GPU-memory
             workaround; these activations fit v5e HBM.
@@ -236,7 +238,7 @@ class TrainConfig:
         """
         base = dict(
             ool_mode="fused",
-            augment_order="fast-int6",
+            augment_order="fast-sep",
             compute_dtype="bfloat16",
             use_checkpointing=False,
             bn_mode="async",
@@ -317,9 +319,10 @@ def add_preset_arg(parser):
         "--preset", choices=("reference", "production"), default="reference",
         help="'reference' = reference-exact semantics (fp32, strict OOL, "
         "reference augment order, remat); 'production' = the recommended "
-        "TPU operating point (fused OOL, fast-int6 augment order — auto-"
-        "downgraded to fast-int8 for non-binary datasets — bfloat16, "
-        "no remat — see TrainConfig.tpu_production). Explicit flags override "
+        "TPU operating point (fused OOL, fast-sep augment order — auto-"
+        "downgraded to fast-int8 for non-binary datasets and to fast-int6 "
+        "on multi-device TPU meshes — bfloat16, no remat, async BN — see "
+        "TrainConfig.tpu_production). Explicit flags override "
         "the preset either way.",
     )
     return parser

@@ -64,21 +64,34 @@ def _avg_pool_same(x, ndim: int):
     return summed / float(_KERNEL_SIZE**ndim)
 
 
-def _bspline_field_3d(key, B, spatial, num_ctl: int, strength: float, strength_spatial=None):
-    D, H, W = spatial
-    sD, sH, sW = strength_spatial or spatial
+def _bspline_ctl_3d(key, B, num_ctl: int, strength: float, strength_spatial):
+    """Smoothed + scaled control field of the 3D b-spline displacement.
+
+    Reference quirk kept verbatim: channel i is scaled by (D, H, W)[i] even
+    though the grid's last-dim order is (x=W, y=H, z=D) (`torch_utils.py:196-209`).
+    strength_spatial lets the fast augment path evaluate the grid at base
+    resolution while keeping the field-magnitude distribution of the
+    post-interpolation resolution.
+    """
+    sD, sH, sW = strength_spatial
     ctl = jax.random.normal(key, (B, 3, num_ctl, num_ctl, num_ctl), jnp.float32)
-    # Reference quirk kept verbatim: channel i is scaled by (D, H, W)[i] even
-    # though the grid's last-dim order is (x=W, y=H, z=D) (`torch_utils.py:196-209`).
-    # strength_spatial lets the fast augment path evaluate the grid at base
-    # resolution while keeping the field-magnitude distribution of the
-    # post-interpolation resolution.
     dim_strength = jnp.array([sD, sH, sW], jnp.float32) * strength
     ctl = ctl * dim_strength.reshape(1, 3, 1, 1, 1)
     for _ in range(3):
         ctl = _avg_pool_same(ctl, 3)
-    disp = resize_nd(ctl, (D, H, W), mode="linear", align_corners=True)
-    return jnp.transpose(disp, (0, 2, 3, 4, 1))  # (B, D, H, W, 3)
+    return ctl
+
+
+def _bspline_field_from_ctl(ctl, spatial):
+    """Sample the control field's piecewise-trilinear interpolant on the full
+    lattice: (B, 3, n, n, n) -> (B, D, H, W, 3)."""
+    disp = resize_nd(ctl, tuple(spatial), mode="linear", align_corners=True)
+    return jnp.transpose(disp, (0, 2, 3, 4, 1))
+
+
+def _bspline_field_3d(key, B, spatial, num_ctl: int, strength: float, strength_spatial=None):
+    ctl = _bspline_ctl_3d(key, B, num_ctl, strength, strength_spatial or spatial)
+    return _bspline_field_from_ctl(ctl, spatial)  # (B, D, H, W, 3)
 
 
 def _bspline_field_2d(key, B, spatial, num_ctl: int, strength: float):
@@ -134,10 +147,20 @@ def make_augment_grid(
         return grid + do_bspline.reshape(batch, 1, 1, 1) * bspline
 
     D, H, W = spatial
+    eff_theta, ctl, do_bspline3 = _parts_3d(
+        do_bspline, do_affine, k_bspline, k_affine, k_dir, batch, params,
+        strength_spatial or spatial,
+    )
+    bspline = _bspline_field_from_ctl(ctl, (D, H, W))
+    grid = affine_grid_3d(eff_theta, (D, H, W), align_corners=False)
+    return grid + do_bspline3.reshape(batch, 1, 1, 1, 1) * bspline
+
+
+def _parts_3d(do_bspline, do_affine, k_bspline, k_affine, k_dir, batch, params, strength_spatial):
     eye = jnp.broadcast_to(jnp.eye(3, 4, dtype=jnp.float32), (batch, 3, 4))
-    bspline = _bspline_field_3d(
-        k_bspline, batch, (D, H, W), params.bspline_num_ctl_points, params.bspline_strength,
-        strength_spatial=strength_spatial,
+    ctl = _bspline_ctl_3d(
+        k_bspline, batch, params.bspline_num_ctl_points, params.bspline_strength,
+        strength_spatial,
     )
     theta = eye + params.affine_strength * jax.random.normal(k_affine, (batch, 3, 4), jnp.float32)
     angles = jax.random.uniform(k_dir, (batch, 2)) * 2 * jnp.pi
@@ -147,8 +170,31 @@ def make_augment_grid(
     )
     theta = theta.at[:, :, -1].set(params.add_affine_translation * offset)
     eff_theta = eye + do_affine[:, None, None] * (theta - eye)
-    grid = affine_grid_3d(eff_theta, (D, H, W), align_corners=False)
-    return grid + do_bspline.reshape(batch, 1, 1, 1, 1) * bspline
+    return eff_theta, ctl, do_bspline
+
+
+def make_augment_parts(key, batch: int, spatial, params: AugmentParams, strength_spatial=None):
+    """The 3D warp's parts, with both coins folded in: (eff_theta, ctl).
+
+    eff_theta (B, 3, 4) is the effective affine (identity where the affine
+    coin is off); ctl (B, 3, n, n, n) the smoothed+scaled b-spline control
+    field ZEROED where the b-spline coin is off. The joint grid assembles as
+    `affine_grid_3d(eff_theta) + _bspline_field_from_ctl(ctl, spatial)` —
+    identical (by linearity of the resize) to `make_augment_grid` under the
+    same key; the separable warp (`ops/sep_warp.py`) consumes the parts
+    directly."""
+    k_coin_b, k_coin_a, k_bspline, k_affine, k_dir = jax.random.split(key, 5)
+    do_bspline = (
+        jax.random.uniform(k_coin_b, (batch,)) < params.bspline_probability
+    ).astype(jnp.float32)
+    do_affine = (
+        jax.random.uniform(k_coin_a, (batch,)) < params.affine_probability
+    ).astype(jnp.float32)
+    eff_theta, ctl, do_bspline = _parts_3d(
+        do_bspline, do_affine, k_bspline, k_affine, k_dir, batch, params,
+        strength_spatial or spatial,
+    )
+    return eff_theta, ctl * do_bspline.reshape(batch, 1, 1, 1, 1)
 
 
 def _unnormalize_ac_false(coord, size: int):
@@ -511,6 +557,13 @@ def augment_sample_pair(
         configured additive-noise budget so the total per-voxel perturbation
         variance stays at `noise_strength²` — the augmentation's own noise
         pays for the quantization. Label warps stay exact.
+      'fast-sep' — separable 3-pass scanline warp (`ops/sep_warp.py`):
+        replaces the arbitrary-index gathers with Mosaic lane gathers
+        (~17x the gather rate on TPU). Binary labels only; affine part
+        inverted exactly, b-spline part by coarse-lattice fixed point —
+        a near-identical but not bitwise-equal warp operator (image/label
+        consistency exact by construction; deviation from the joint warp
+        gated in tests/test_sep_warp.py and by the DP-recovery oracle).
 
     The two label warps share one nearest-neighbor gather (labels packed into
     one volume) — a quarter of the index traffic of two separate warps; the
@@ -518,7 +571,7 @@ def augment_sample_pair(
     """
     orders = (
         "reference", "reference-bf16", "reference-int8", "reference-int6",
-        "fast", "fast-bf16", "fast-int8", "fast-int6",
+        "fast", "fast-bf16", "fast-int8", "fast-int6", "fast-sep",
     )
     if order not in orders:
         raise ValueError(f"unknown augment order {order!r}")
@@ -535,9 +588,31 @@ def augment_sample_pair(
         )
     b_image = augment_noise(k_noise, b_image, noise_strength)
 
-    if order in ("fast", "fast-bf16", "fast-int8", "fast-int6") and not use_2d:
+    if order in ("fast", "fast-bf16", "fast-int8", "fast-int6", "fast-sep") and not use_2d:
         base_spatial = b_image.shape[1:]
         out_spatial = tuple(int(s * pre_interpolation_factor) for s in base_spatial)
+        if order == "fast-sep":
+            # Separable 3-pass warp (ops/sep_warp.py): Mosaic lane gathers
+            # instead of arbitrary-index gathers (~17x the gather rate).
+            # Binary labels only (2-bit packed codes, like the int6 order).
+            # int12 image quantization (~0.07% absmax over the three passes)
+            # sits ~45x below the int6 budget — no noise carve-out needed.
+            from .sep_warp import assemble_grid_from_fields, sep_warp_apply, sep_warp_fields
+
+            eff_theta, ctl = make_augment_parts(
+                k_spatial, b_image.shape[0], base_spatial, params,
+                strength_spatial=out_spatial,
+            )
+            fields = sep_warp_fields(eff_theta, ctl, base_spatial)
+            img, lbl_w, mod_w = sep_warp_apply(
+                b_image.astype(jnp.float32), b_label, b_modified_label, fields
+            )
+            warped = (lbl_w + 2 * mod_w).astype(jnp.float32)
+            divisor = 2
+            grid = assemble_grid_from_fields(fields)
+            img, _ = interpolate_sample(img, None, pre_interpolation_factor, False)
+            _, warped_i = interpolate_sample(None, warped.astype(jnp.int32), pre_interpolation_factor, False)
+            return img, warped_i % divisor, warped_i // divisor, grid
         grid = make_augment_grid(
             k_spatial, b_image.shape[0], base_spatial, params, use_2d=False,
             strength_spatial=out_spatial,

@@ -317,6 +317,24 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                 state = replicate_state(state, mesh)
 
         pre_interp = dataset.pre_interpolation_factor
+        if (
+            config.augment_order.endswith("-sep")
+            and mesh is not None
+            and jax.default_backend() == "tpu"
+        ):
+            # The separable warp's Mosaic pass kernels are opaque to the
+            # GSPMD partitioner (a pallas_call carries no partitioning rule,
+            # so XLA would replicate its operands across the mesh). Under a
+            # multi-device TPU mesh fall back to the fused int6 warp, which
+            # shards natively; 'fast-sep' is the single-chip production order
+            # (benchmarks/probe_sep_step.py: 446 vs 558 ms/step). On CPU
+            # meshes (virtual-device tests) the order keeps its XLA twin
+            # impl, which shards fine.
+            print(
+                f"augment_order {config.augment_order!r} uses Pallas kernels that do "
+                "not shard under GSPMD; using 'fast-int6' on this multi-device mesh"
+            )
+            config = config.replace(augment_order="fast-int6")
         effective_order = resolve_augment_order(config.augment_order, num_classes)
         if effective_order != config.augment_order:
             print(

@@ -71,15 +71,17 @@ def _forward(model, params, batch_stats, images, train: bool, dropout_rng=None,
 def resolve_augment_order(order: str, num_classes: int) -> str:
     """Effective augment order for a dataset's class count.
 
-    The '-int6' fused warp packs each label voxel as a 2-bit
-    (label | modified<<1) code inside the image gather word
-    (ops/augment.py::_warp_fused_int6pack) — it only represents binary
-    labels. For any other class count, downgrade to the matching '-int8'
-    order (same warp field and augmentation distribution, exact integer
-    labels, one extra gather). All other orders pass through unchanged.
+    The '-int6' fused warp and the '-sep' separable warp pack each label
+    voxel as a 2-bit (label | modified<<1) code inside the image gather word
+    (ops/augment.py::_warp_fused_int6pack, ops/sep_warp.py) — they only
+    represent binary labels. For any other class count, downgrade to the
+    matching '-int8' order (same warp field and augmentation distribution,
+    exact integer labels). All other orders pass through unchanged.
     """
     if order.endswith("-int6") and num_classes != 2:
         return order[: -len("-int6")] + "-int8"
+    if order.endswith("-sep") and num_classes != 2:
+        return order[: -len("-sep")] + "-int8"
     return order
 
 
@@ -98,9 +100,12 @@ def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighti
     """
     use_dp = config.data_param_mode == DataParamMode.INSTANCE_PARAMS
     use_2d = config.use_2d_normal_to is not None
-    if config.augment_order.endswith("-int6") and len(class_weights) != 2:
-        # The fused warp packs each label as a 2-bit (label | modified<<1)
-        # code (ops/augment.py::_warp_fused_int6pack) — binary labels only.
+    if (
+        config.augment_order.endswith("-int6") or config.augment_order.endswith("-sep")
+    ) and len(class_weights) != 2:
+        # These warps pack each label as a 2-bit (label | modified<<1) code
+        # (ops/augment.py::_warp_fused_int6pack, ops/sep_warp.py) — binary
+        # labels only.
         raise ValueError(
             f"augment_order {config.augment_order!r} supports binary labels only "
             f"(got {len(class_weights)} classes); use 'fast-int8' instead"

@@ -23,20 +23,22 @@ def test_ratio_metric():
 # synthetic blobs. (FLIP_ROLL transposes+rolls with wraparound, which on
 # near-symmetric synthetic ellipsoids can be close to an identity map and
 # gives no per-sample CE signal to detect.)
-# The fast-int6 case gates the production preset: the fused int6 warp (labels
-# riding the image gather + the quantization-from-noise-budget trick) must
-# preserve the paper's core effect (disturbed samples sinking to low DP) —
-# the quality proof behind the bench headline. The intermediate fast-bf16 /
-# fast-int8 orders are not oracle-tested here (each case is a full ~6 min
-# training run): their image warps are numerics-gated against the exact warp
-# in test_fast_warp (~0.4% / ~1% voxel deltas, labels bit-exact), which bounds
-# them between the two oracle-tested endpoints.
+# The fast-sep case gates the production preset: the separable 3-pass warp
+# (near-identical but not bitwise-equal warp operator — tests/test_sep_warp.py)
+# must preserve the paper's core effect (disturbed samples sinking to low DP)
+# — the quality proof behind the bench headline. The intermediate fast-bf16 /
+# fast-int8 / fast-int6 orders are not oracle-tested here (each case is a
+# full ~6 min training run): their image warps are numerics-gated against
+# the exact warp in test_fast_warp (~0.4-3% voxel deltas, labels bit-exact
+# or 2-bit-coded), the int6 order carried the oracle through round 3/4, and
+# fast-sep's label deltas vs the joint warp are gated at <1.5% in
+# test_sep_warp — bounding them all between the two oracle-tested endpoints.
 @pytest.mark.parametrize("mode,augment_order,bn_mode", [
     (LabelDisturbanceMode.AFFINE, "reference", "batch"),
-    # Production-preset gate: fused int6 warp AND async BN with its 1-epoch
+    # Production-preset gate: separable warp AND async BN with its 1-epoch
     # slab warmup (TrainConfig.tpu_production) — the paper's core effect must
     # survive the full set of fast-preset tradeoffs together.
-    (LabelDisturbanceMode.AFFINE, "fast-int6", "async"),
+    (LabelDisturbanceMode.AFFINE, "fast-sep", "async"),
 ])
 def test_disturbed_samples_sink_to_low_dp(tmp_path, mode, augment_order, bn_mode):
     # clean dataset (no atlas override) so the disturbance engine is allowed
