@@ -51,7 +51,7 @@ def run_model(remat: bool, iters: int = 3):
     return lambda: float(np.asarray(step(p, bs, x)))
 
 
-def run_train_step(fast: bool = False, iters: int = 3, order: str = None, ool: str = None):
+def run_train_step(fast: bool = False, iters: int = 3, order: str = None, ool: str = None, bn: str = None):
     from deep_staple_tpu.core.config import TrainConfig
     from deep_staple_tpu.train.driver import make_model
     from deep_staple_tpu.train.state import create_state
@@ -59,10 +59,12 @@ def run_train_step(fast: bool = False, iters: int = 3, order: str = None, ool: s
 
     config = (
         TrainConfig(use_checkpointing=False, ool_mode=ool or "fused",
-                    compute_dtype="bfloat16", augment_order=order or "fast")
+                    compute_dtype="bfloat16", augment_order=order or "fast",
+                    bn_mode=bn or "batch")
         if fast else
         TrainConfig(use_checkpointing=False, ool_mode=ool or "strict",
-                    compute_dtype="bfloat16", augment_order=order or "reference")
+                    compute_dtype="bfloat16", augment_order=order or "reference",
+                    bn_mode=bn or "batch")
     )
     model, _ = make_model(config, num_classes=2)
     state, tx = create_state(model, (1, 192, 192, 75, 1), 1070)
@@ -91,7 +93,9 @@ def run_train_step(fast: bool = False, iters: int = 3, order: str = None, ool: s
 
 
 _MODULE_PATTERNS = [
+    ("warp-sep-pass (pallas)", re.compile(r"pallas|sep_warp")),
     ("warp-gathers", re.compile(r"take_along_axis|gather")),
+    ("transpose/copy", re.compile(r"transpose|copy")),
     ("model him (blocks 0-1)", re.compile(r"/him/")),
     ("model lom (blocks 2-9)", re.compile(r"/lom/")),
     ("model aspp", re.compile(r"ASPP|aspp")),
@@ -171,6 +175,7 @@ def main():
     ap.add_argument("--fast", action="store_true", help="with --step: the fused/fast/no-remat variant")
     ap.add_argument("--order", default=None, help="override augment order (e.g. fast-bf16)")
     ap.add_argument("--ool", default=None, help="override ool mode (strict/fused)")
+    ap.add_argument("--bn", default=None, help="override bn mode (batch/async/slab)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
@@ -178,7 +183,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     print("devices:", jax.devices(), flush=True)
     once = (
-        run_train_step(args.fast, order=args.order, ool=args.ool)
+        run_train_step(args.fast, order=args.order, ool=args.ool, bn=args.bn)
         if args.step else run_model(args.remat)
     )
     once()
