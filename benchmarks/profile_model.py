@@ -95,11 +95,13 @@ def run_train_step(fast: bool = False, iters: int = 3, order: str = None, ool: s
 _MODULE_PATTERNS = [
     ("warp-sep-pass (pallas)", re.compile(r"pallas|sep_warp")),
     ("warp-gathers", re.compile(r"take_along_axis|gather")),
-    ("transpose/copy", re.compile(r"transpose|copy")),
+    # him/lom/aspp must come BEFORE transpose/copy: backward ops are named
+    # "transpose(jvp(...))/lom/..." and should land in their module bucket.
     ("model him (blocks 0-1)", re.compile(r"/him/")),
     ("model lom (blocks 2-9)", re.compile(r"/lom/")),
     ("model aspp", re.compile(r"ASPP|aspp")),
     ("model head", re.compile(r"LRASPPHead|/head/")),
+    ("transpose/copy", re.compile(r"transpose|copy")),
     ("resize/interp", re.compile(r"resize|interpolate")),
     ("optimizer/while", re.compile(r"while")),
 ]
