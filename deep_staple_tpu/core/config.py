@@ -212,11 +212,14 @@ class TrainConfig:
             identical to the joint warp — tests/test_sep_warp.py). Measured:
             558 -> 446 ms/step on v5e-1 (benchmarks/probe_sep_step.py).
             Binary labels only — the driver auto-downgrades to 'fast-int8'
-            for other class counts (train/step.py::resolve_augment_order),
-            and to 'fast-int6' (the previous production order, 2 fused
-            arbitrary-index gathers) on multi-device TPU meshes, where
-            pallas_call does not shard under GSPMD. 'fast-bf16' and the
-            exact-f32 orders remain available.
+            for other class counts (train/step.py::resolve_augment_order).
+            On multi-device meshes the passes run under shard_map over the
+            'data' axis (each device warps its local batch shard —
+            ops/sep_warp.py::sep_warp_apply); only spatially-sharded TPU
+            meshes downgrade to 'fast-int6' (the previous production order,
+            2 fused arbitrary-index gathers), since the passes gather along
+            every spatial axis. 'fast-bf16' and the exact-f32 orders remain
+            available.
           * compute_dtype='bfloat16': MXU-native precision, f32 params.
           * use_checkpointing=False: remat is the reference's GPU-memory
             workaround; these activations fit v5e HBM.
@@ -321,7 +324,7 @@ def add_preset_arg(parser):
         "reference augment order, remat); 'production' = the recommended "
         "TPU operating point (fused OOL, fast-sep augment order — auto-"
         "downgraded to fast-int8 for non-binary datasets and to fast-int6 "
-        "on multi-device TPU meshes — bfloat16, no remat, async BN — see "
+        "on spatially-sharded TPU meshes — bfloat16, no remat, async BN — see "
         "TrainConfig.tpu_production). Explicit flags override "
         "the preset either way.",
     )

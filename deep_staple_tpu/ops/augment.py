@@ -524,6 +524,7 @@ def augment_sample_pair(
     pre_interpolation_factor: float = 2.0,
     use_2d: bool = False,
     order: str = "reference",
+    mesh=None,
 ):
     """`HybridIdLoader.augment` + shared-grid modified-label warp
     (`HybridIdLoader.py:325-333,482-505`): noise on image, one spatial warp
@@ -605,7 +606,8 @@ def augment_sample_pair(
             )
             fields = sep_warp_fields(eff_theta, ctl, base_spatial)
             img, lbl_w, mod_w = sep_warp_apply(
-                b_image.astype(jnp.float32), b_label, b_modified_label, fields
+                b_image.astype(jnp.float32), b_label, b_modified_label, fields,
+                mesh=mesh,
             )
             warped = (lbl_w + 2 * mod_w).astype(jnp.float32)
             divisor = 2

@@ -376,14 +376,52 @@ def resolve_sep_impl(impl: str = "auto") -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
-def sep_warp_apply(img, lbl, mod, fields: SepWarpFields, impl: str = "auto"):
+def sep_warp_apply(
+    img,
+    lbl,
+    mod,
+    fields: SepWarpFields,
+    impl: str = "auto",
+    mesh=None,
+    data_axis: str = "data",
+):
     """Apply the separable warp: image 1D-lerp/border, labels 1D-nearest/zeros
     per pass, all three arrays riding one packed word stream per pass.
 
     img: (B, D, H, W) f32; lbl/mod: (B, D, H, W) binary int. Returns
     (img, lbl, mod) at the same shape.
+
+    mesh: optional jax.sharding.Mesh. A `pallas_call` carries no GSPMD
+    partitioning rule, so under a multi-device mesh XLA would replicate its
+    operands (all-gathering the sharded batch onto every device). The warp is
+    per-sample, so with a mesh we instead `shard_map` the whole 3-pass
+    application over the batch (`data_axis`): each device runs the passes on
+    its local batch shard, no collectives. Requires the batch divisible by
+    the axis size and UNSHARDED spatial axes (the passes gather along every
+    spatial axis — the driver keeps the fast-int6 downgrade for
+    spatially-sharded meshes).
     """
     B, D, H, W = img.shape
+    if mesh is not None and data_axis in mesh.shape:
+        from jax.sharding import PartitionSpec
+
+        if B % mesh.shape[data_axis]:
+            raise ValueError(
+                f"sep warp shard_map: batch {B} not divisible by mesh axis "
+                f"{data_axis!r} ({mesh.shape[data_axis]})"
+            )
+        spec = PartitionSpec(data_axis)
+
+        def local(i, l, m, f):
+            return sep_warp_apply(i, l, m, f, impl=impl, mesh=None)
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, SepWarpFields(spec, spec, spec)),
+            out_specs=(spec, spec, spec),
+            check_vma=False,
+        )(img, lbl, mod, fields)
     impl = resolve_sep_impl(impl)
     one_pass = _sep_pass_pallas if impl == "pallas" else _sep_pass_xla
 

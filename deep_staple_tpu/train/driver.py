@@ -317,24 +317,25 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                 state = replicate_state(state, mesh)
 
         pre_interp = dataset.pre_interpolation_factor
-        if (
-            config.augment_order.endswith("-sep")
-            and mesh is not None
-            and jax.default_backend() == "tpu"
-        ):
-            # The separable warp's Mosaic pass kernels are opaque to the
-            # GSPMD partitioner (a pallas_call carries no partitioning rule,
-            # so XLA would replicate its operands across the mesh). Under a
-            # multi-device TPU mesh fall back to the fused int6 warp, which
-            # shards natively; 'fast-sep' is the single-chip production order
-            # (benchmarks/probe_sep_step.py: 446 vs 558 ms/step). On CPU
-            # meshes (virtual-device tests) the order keeps its XLA twin
-            # impl, which shards fine.
-            print(
-                f"augment_order {config.augment_order!r} uses Pallas kernels that do "
-                "not shard under GSPMD; using 'fast-int6' on this multi-device mesh"
-            )
-            config = config.replace(augment_order="fast-int6")
+        sep_mesh = None
+        if config.augment_order.endswith("-sep") and mesh is not None:
+            if config.mesh_space_axis > 1 and jax.default_backend() == "tpu":
+                # The separable passes gather along EVERY spatial axis, so a
+                # spatially-sharded volume can't ride them shard-locally; the
+                # fused int6 warp shards natively over 'space' (element
+                # gathers partition fine). (CPU virtual-device tests keep the
+                # order: the XLA twin impl reshards under GSPMD.)
+                print(
+                    f"augment_order {config.augment_order!r} cannot run on a "
+                    "spatially-sharded mesh; using 'fast-int6'"
+                )
+                config = config.replace(augment_order="fast-int6")
+            else:
+                # Batch/model meshes: the Pallas scanline passes carry no
+                # GSPMD partitioning rule, so the warp runs under shard_map
+                # over the 'data' axis — each device warps its local batch
+                # shard, no collectives (ops/sep_warp.py::sep_warp_apply).
+                sep_mesh = mesh
         effective_order = resolve_augment_order(config.augment_order, num_classes)
         if effective_order != config.augment_order:
             print(
@@ -343,7 +344,8 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             )
             config = config.replace(augment_order=effective_order)
         train_step = make_train_step(
-            model, tx, config, class_weights, fixed_weighting, pre_interpolation_factor=pre_interp
+            model, tx, config, class_weights, fixed_weighting,
+            pre_interpolation_factor=pre_interp, mesh=sep_mesh,
         )
         eval_step = make_eval_step(model, config, num_classes)
         # Async-BN warmup: the first bn_warmup_epochs run the 'slab' step
@@ -358,7 +360,7 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
             warmup_model, _ = make_model(config.replace(bn_mode="slab"), num_classes)
             warmup_step = make_train_step(
                 warmup_model, tx, config, class_weights, fixed_weighting,
-                pre_interpolation_factor=pre_interp,
+                pre_interpolation_factor=pre_interp, mesh=sep_mesh,
             )
 
         rng = jax.random.PRNGKey(config.seed + 1000 * fold_idx)

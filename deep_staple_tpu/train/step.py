@@ -88,7 +88,7 @@ def resolve_augment_order(order: str, num_classes: int) -> str:
 def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighting,
                     augment_params: AugmentParams = AugmentParams(),
                     pre_interpolation_factor: float = 1.5,
-                    augment: bool = True):
+                    augment: bool = True, mesh=None):
     """Build the jitted train step.
 
     Args:
@@ -97,6 +97,10 @@ def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighti
         augment: device-side augmentation, on by default like the reference's
             train() path (:666). False feeds the batch through raw — used by
             the torch-parity gate, where both sides must see identical voxels.
+        mesh: optional device mesh. Only the '-sep' augment order consumes it
+            (shard_map of the Pallas scanline passes over the 'data' axis —
+            ops/sep_warp.py::sep_warp_apply); every other op in the step is
+            GSPMD-native and needs no mesh plumbing.
     """
     use_dp = config.data_param_mode == DataParamMode.INSTANCE_PARAMS
     use_2d = config.use_2d_normal_to is not None
@@ -122,6 +126,7 @@ def make_train_step(model, tx, config: TrainConfig, class_weights, fixed_weighti
                 rng, img, lbl, mod, params=augment_params,
                 pre_interpolation_factor=pre_interpolation_factor, use_2d=use_2d,
                 order=config.augment_order,
+                mesh=mesh if config.augment_order.endswith("-sep") else None,
             )
         return img, lbl, mod
 

@@ -161,6 +161,79 @@ def test_fast_sep_downgrades_for_nonbinary():
     assert resolve_augment_order("fast-sep", 3) == "fast-int8"
 
 
+def test_shard_map_path_matches_unsharded():
+    """The multi-device path (shard_map over 'data' so the Pallas passes run
+    shard-locally — sep_warp_apply's mesh arg) must be BIT-exact vs the
+    unsharded apply: it is the same per-sample program on batch shards."""
+    from deep_staple_tpu.parallel.mesh import make_mesh
+
+    img, lbl, mod = _data()
+    key = jax.random.PRNGKey(21)
+    eff_theta, ctl = make_augment_parts(key, B, (D, H, W), AugmentParams())
+    f = sep_warp_fields(eff_theta, ctl, (D, H, W))
+    mesh = make_mesh(data=2, space=1, model=1)
+    ri, rl, rm = sep_warp_apply(img, lbl, mod, f)
+    si, sl, sm = sep_warp_apply(img, lbl, mod, f, mesh=mesh)
+    assert bool((np.asarray(si) == np.asarray(ri)).all())
+    assert bool((np.asarray(sl) == np.asarray(rl)).all())
+    assert bool((np.asarray(sm) == np.asarray(rm)).all())
+    # through the augment plumbing (augment_sample_pair -> sep_warp_apply)
+    out = augment_sample_pair(key, img, lbl, mod, AugmentParams(), 1.5, order="fast-sep")
+    outm = augment_sample_pair(
+        key, img, lbl, mod, AugmentParams(), 1.5, order="fast-sep", mesh=mesh
+    )
+    for a, b in zip(out[:3], outm[:3]):
+        assert bool((np.asarray(a) == np.asarray(b)).all())
+    # indivisible batch is a loud error, not a silent wrong answer
+    with pytest.raises(ValueError, match="not divisible"):
+        sep_warp_apply(img, lbl, mod, f, mesh=make_mesh(data=8, space=1, model=1))
+
+
+def test_train_step_sep_mesh():
+    """make_train_step(mesh=...) with order 'fast-sep' (the driver's
+    multi-device production wiring) runs on a data-sharded batch and matches
+    the meshless step's pre-update metrics."""
+    from deep_staple_tpu.core.config import TrainConfig
+    from deep_staple_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from deep_staple_tpu.train.driver import make_model
+    from deep_staple_tpu.train.state import create_state
+    from deep_staple_tpu.train.step import make_train_step
+
+    config = TrainConfig(
+        use_checkpointing=False, ool_mode="fused", augment_order="fast-sep",
+        compute_dtype="float32",
+    )
+    model, _ = make_model(config, 2)
+    img, lbl, mod = _data()
+    aug = tuple(int(s * 1.5) for s in (D, H, W))
+    n = 8
+    state, tx = create_state(model, (1,) + aug + (1,), n)
+    cw = np.array([0.5, 1.5], np.float32)
+    fw = np.full((n,), 5.0, np.float32)
+    batch_np = {
+        "image": np.asarray(img), "label": np.asarray(lbl),
+        "modified_label": np.asarray(mod),
+        "dataset_idx": np.arange(B, dtype=np.int32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    step1 = make_train_step(model, tx, config, cw, fw, pre_interpolation_factor=1.5)
+    _, m1 = step1(state, {k: jnp.asarray(v) for k, v in batch_np.items()}, 0.01, key)
+
+    mesh = make_mesh(data=2, space=1, model=1)
+    step2 = make_train_step(model, tx, config, cw, fw,
+                            pre_interpolation_factor=1.5, mesh=mesh)
+    with mesh:
+        s2, m2 = step2(replicate_state(state, mesh), shard_batch(batch_np, mesh), 0.01, key)
+
+    np.testing.assert_allclose(
+        np.asarray(m1["ce_loss"]), np.asarray(m2["ce_loss"]), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m1["dp_loss"]), np.asarray(m2["dp_loss"]), rtol=2e-4, atol=1e-5
+    )
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="Mosaic kernels need TPU")
 def test_pallas_impl_matches_xla():
     img, lbl, mod = _data()
