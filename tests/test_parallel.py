@@ -84,11 +84,16 @@ def test_data_parallel_production_preset_int6(tiny_setup):
     1. The fused int6 packed warp (bitwise pack/unpack + per-sample absmax
        inside the jit) shards correctly over ('data',): f32 compute so the
        sharded and unsharded graphs must agree tightly (the only intended
-       difference is reduction order).
-    2. The full bf16 production preset compiles and runs sharded; only
+       difference is reduction order). int6 remains production-reachable as
+       the spatially-sharded-mesh downgrade target and the closest native-
+       sharding sibling of fast-sep.
+    2. The full bf16 production preset (fast-sep since r4) compiles and runs
+       sharded with the driver's mesh wiring (shard_map'd warp passes); only
        sanity-bounded (bf16's ~0.4% mantissa eps makes 8-way reduction
        reorder differences of ~1-2% on the small dp_loss legitimate —
-       measured 1.8% — so tight equivalence belongs to the f32 half).
+       measured 1.8% vs the f32 int6 half, plus the sep warp's ~0.3-1%
+       voxel deltas — so tight equivalence belongs to the f32 half and to
+       test_sep_warp.py::test_train_step_sep_mesh).
     """
     _, state, _, batch_np = tiny_setup
     n = int(np.asarray(state.dp_params).shape[0])
@@ -101,8 +106,9 @@ def test_data_parallel_production_preset_int6(tiny_setup):
     B = batch_np["image"].shape[0]
 
     # --- half 1: int6 warp sharding equivalence (f32) ---
-    config = TrainConfig.tpu_production(use_checkpointing=False, compute_dtype="float32")
-    assert config.augment_order == "fast-int6"
+    config = TrainConfig.tpu_production(
+        use_checkpointing=False, compute_dtype="float32", augment_order="fast-int6"
+    )
     model, _ = make_model(config, 2)
     state_p, tx = create_state(model, (1,) + aug + (1,), n)
     step = make_train_step(model, tx, config, cw, fw, pre_interpolation_factor=1.5)
@@ -122,14 +128,16 @@ def test_data_parallel_production_preset_int6(tiny_setup):
 
     # --- half 2: full bf16 production preset runs sharded ---
     config_bf16 = TrainConfig.tpu_production(use_checkpointing=False)
+    assert config_bf16.augment_order == "fast-sep"
     model_b, _ = make_model(config_bf16, 2)
     state_b, tx_b = create_state(model_b, (1,) + aug + (1,), n)
-    step_b = make_train_step(model_b, tx_b, config_bf16, cw, fw, pre_interpolation_factor=1.5)
+    step_b = make_train_step(model_b, tx_b, config_bf16, cw, fw,
+                             pre_interpolation_factor=1.5, mesh=mesh)
     with mesh:
         sb, mb = step_b(replicate_state(state_b, mesh), shard_batch(batch_np, mesh), 0.01, key)
     assert np.isfinite(float(mb["loss"])) and np.isfinite(float(mb["dp_loss"]))
     np.testing.assert_allclose(
-        float(mb["ce_loss"]), float(np.asarray(m1["ce_loss"])), rtol=3e-2
+        float(mb["ce_loss"]), float(np.asarray(m1["ce_loss"])), rtol=5e-2
     )
     dpb = np.asarray(sb.dp_params)
     assert np.all(dpb[B:] == 0) and np.all(dpb[:B] != 0)
@@ -487,11 +495,14 @@ def test_train_dl_rejects_indivisible_multihost_mesh(monkeypatch):
 
 
 def test_spatially_sharded_int6_production_warp(tiny_setup):
-    """`--preset production --mesh-space-axis M`: the fused int6 packed warp
-    (global flattened-index gathers over the packed image+label volume) must
-    stay correct when the volume H axis is sharded over ('space',) — GSPMD
-    gathers from a sharded operand. f32 compute so the only intended
-    difference vs unsharded is reduction order."""
+    """`--preset production --mesh-space-axis M`: on spatially-sharded TPU
+    meshes the driver downgrades fast-sep to the fused int6 packed warp
+    (the scanline passes gather along every spatial axis and can't run
+    shard-locally), so the int6 warp's global flattened-index gathers over
+    the packed image+label volume must stay correct when the volume H axis
+    is sharded over ('space',) — GSPMD gathers from a sharded operand. f32
+    compute so the only intended difference vs unsharded is reduction
+    order."""
     _, state, _, batch_np = tiny_setup
     n = int(np.asarray(state.dp_params).shape[0])
     cw = np.array([0.5, 1.5], np.float32)
@@ -499,8 +510,9 @@ def test_spatially_sharded_int6_production_warp(tiny_setup):
     aug = tuple(int(s * 1.5) for s in batch_np["image"].shape[1:])
     key = jax.random.PRNGKey(3)
 
-    config = TrainConfig.tpu_production(use_checkpointing=False, compute_dtype="float32")
-    assert config.augment_order == "fast-int6"
+    config = TrainConfig.tpu_production(
+        use_checkpointing=False, compute_dtype="float32", augment_order="fast-int6"
+    )
     model, _ = make_model(config, 2)
     state_p, tx = create_state(model, (1,) + aug + (1,), n)
     step = make_train_step(model, tx, config, cw, fw, pre_interpolation_factor=1.5)

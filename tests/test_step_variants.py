@@ -81,8 +81,12 @@ def test_resolve_augment_order_int6_downgrade():
     assert resolve_augment_order("reference-int6", 5) == "reference-int8"
     assert resolve_augment_order("fast-int8", 3) == "fast-int8"
     assert resolve_augment_order("reference", 3) == "reference"
-    # production preset is int6; make_train_step itself still guards direct use
-    assert TrainConfig.tpu_production().augment_order == "fast-int6"
+    # '-sep' packs labels the same way -> binary only, same downgrade
+    assert resolve_augment_order("fast-sep", 2) == "fast-sep"
+    assert resolve_augment_order("fast-sep", 3) == "fast-int8"
+    # production preset is fast-sep; make_train_step itself still guards
+    # direct use with non-binary class counts
+    assert TrainConfig.tpu_production().augment_order == "fast-sep"
     config = TrainConfig.tpu_production(use_checkpointing=False)
     model, _ = make_model(config, 3)
     state, tx = create_state(model, (1, 18, 18, 12, 1), 8)
