@@ -39,6 +39,10 @@ TAG_PIXEL_REPRESENTATION = (0x0028, 0x0103)
 TAG_RESCALE_INTERCEPT = (0x0028, 0x1052)
 TAG_RESCALE_SLOPE = (0x0028, 0x1053)
 TAG_PIXEL_DATA = (0x7FE0, 0x0010)
+TAG_FRAME_OF_REF = (0x0020, 0x0052)
+TAG_REF_FRAME_SEQ = (0x3006, 0x0010)
+TAG_RT_REF_STUDY_SEQ = (0x3006, 0x0012)
+TAG_RT_REF_SERIES_SEQ = (0x3006, 0x0014)
 TAG_STRUCT_SET_ROI_SEQ = (0x3006, 0x0020)
 TAG_ROI_CONTOUR_SEQ = (0x3006, 0x0039)
 TAG_ROI_NUMBER = (0x3006, 0x0022)
@@ -112,7 +116,10 @@ def _parse_elements(buf: memoryview, offset: int, end: int, explicit: bool, stop
 
         is_seq = vr == b"SQ" or (
             vr in (None, b"UN") and length == 0xFFFFFFFF
-        ) or tag in (TAG_STRUCT_SET_ROI_SEQ, TAG_ROI_CONTOUR_SEQ, TAG_CONTOUR_SEQ)
+        ) or tag in (
+            TAG_STRUCT_SET_ROI_SEQ, TAG_ROI_CONTOUR_SEQ, TAG_CONTOUR_SEQ,
+            TAG_REF_FRAME_SEQ, TAG_RT_REF_STUDY_SEQ, TAG_RT_REF_SERIES_SEQ,
+        )
 
         if is_seq and tag != TAG_PIXEL_DATA:
             items, pos = _parse_sequence(buf, pos, end if length == 0xFFFFFFFF else pos + length,
@@ -194,13 +201,18 @@ class DicomSeries:
     volume: np.ndarray  # (rows, cols, slices)
     affine: np.ndarray  # voxel (r, c, s) -> patient mm
     slice_positions: list
+    series_uid: str = ""
+    frame_of_reference: str = ""
 
 
 def load_series(paths) -> DicomSeries:
     """Assemble a volume from one MR series' slice files."""
     slices = []
+    series_uid = frame_uid = ""
     for p in paths:
         ds = read_dicom(p)
+        series_uid = series_uid or ds.str_value(TAG_SERIES_UID, "")
+        frame_uid = frame_uid or ds.str_value(TAG_FRAME_OF_REF, "")
         rows = ds.int_value(TAG_ROWS)
         cols = ds.int_value(TAG_COLS)
         bits = ds.int_value(TAG_BITS_ALLOCATED, 16)
@@ -234,7 +246,11 @@ def load_series(paths) -> DicomSeries:
     affine[:3, 1] = row_dir * spacing[1]
     affine[:3, 2] = normal * dz
     affine[:3, 3] = positions[0]
-    return DicomSeries(volume=vol, affine=affine, slice_positions=[float(np.dot(p, normal)) for p in positions])
+    return DicomSeries(
+        volume=vol, affine=affine,
+        slice_positions=[float(np.dot(p, normal)) for p in positions],
+        series_uid=series_uid, frame_of_reference=frame_uid,
+    )
 
 
 def load_rtstruct(path) -> dict:
@@ -255,6 +271,33 @@ def load_rtstruct(path) -> dict:
                 contours.append(np.asarray(pts, np.float64).reshape(-1, 3))
         out[name] = contours
     return out
+
+
+def rtstruct_references(path) -> dict:
+    """The series/frame an RTSTRUCT's contours are DEFINED on.
+
+    Returns {'frame_of_reference': uid-or-'', 'series_uids': [uids]} from the
+    Referenced Frame of Reference Sequence (3006,0010) and its nested
+    RTReferencedStudy/Series items. The registered conversion uses this to
+    decide whether contours ride the moving series and therefore need the
+    registration transform before rasterization — what Slicer's
+    ``RTSS.SetAndObserveTransformNodeID`` did in the reference
+    (`data_conversion.py:495-505`)."""
+    ds = read_dicom(path)
+    frames, series = [], []
+    for item in ds.get(TAG_REF_FRAME_SEQ, []) or []:
+        f = item.str_value(TAG_FRAME_OF_REF)
+        if f:
+            frames.append(f)
+        for study in item.get(TAG_RT_REF_STUDY_SEQ, []) or []:
+            for se in study.get(TAG_RT_REF_SERIES_SEQ, []) or []:
+                u = se.str_value(TAG_SERIES_UID)
+                if u:
+                    series.append(u)
+    return {
+        "frame_of_reference": frames[0] if frames else "",
+        "series_uids": series,
+    }
 
 
 def rasterize_contours(contours, series: DicomSeries) -> np.ndarray:

@@ -53,8 +53,19 @@ def _collect_case(case_dir: Path):
     return series_by_mod
 
 
-def _rasterize(series_by_mod, ref_series, out_path):
+def _rasterize(series_by_mod, ref_series, out_path, contour_tfm=None):
+    """contour_tfm: optional .tfm file matrix (fixed-world -> moving-world
+    pull-back) whose FromParent-applied inverse moves contours defined on the
+    MOVING series into the reference frame before rasterization
+    (`data_conversion.py:495-505` RTSS.SetAndObserveTransformNodeID)."""
     rois = load_rtstruct(series_by_mod["rtstruct"])
+    if contour_tfm is not None:
+        from .register import transform_contours_lps
+
+        rois = {
+            name: transform_contours_lps(contours, contour_tfm)
+            for name, contours in rois.items()
+        }
     label = np.zeros(ref_series.volume.shape, np.int16)
     class_idx = 0
     for name, contours in sorted(rois.items()):
@@ -79,6 +90,7 @@ def convert_case(
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     written = []
+    contour_tfm = None
     series_by_mod = _collect_case(Path(case_dir))
 
     image_keys = [k for k in series_by_mod if k != "rtstruct"]
@@ -132,6 +144,33 @@ def convert_case(
         save_nifti(fix_path, fixed.volume.astype(np.float32), affine=fixed.affine)
         written.append(fix_path)
         ref_series = fixed
+
+        # Contours defined on the MOVING series must ride the registration
+        # into the reference frame before rasterization (the reference's
+        # RTSS.SetAndObserveTransformNodeID, `data_conversion.py:495-505`).
+        # Decided by the RTSTRUCT's referenced series/frame UIDs; with no
+        # UID evidence (or contours on the fixed series / a shared frame)
+        # the points are already in reference world coordinates.
+        if "rtstruct" in series_by_mod:
+            from .dicom import rtstruct_references
+
+            refs = rtstruct_references(series_by_mod["rtstruct"])
+
+            def _on(series):
+                return (
+                    bool(series.series_uid)
+                    and series.series_uid in refs["series_uids"]
+                ) or (
+                    bool(refs["frame_of_reference"])
+                    and series.frame_of_reference == refs["frame_of_reference"]
+                )
+
+            if _on(moving) and not _on(fixed):
+                contour_tfm = pullback
+                print(
+                    f"{case_name}: contours ride the moving {moving_key} "
+                    "series — applying the registration to the RTSTRUCT"
+                )
     else:
         ref_series = series_by_mod[image_keys[0]] if image_keys else None
 
@@ -140,7 +179,7 @@ def convert_case(
         # reference image's geometry, like the reference's
         # create_segmentation_node_with_reference_geometry).
         lbl_path = out_dir / f"{case_name}_Label.nii.gz"
-        n = _rasterize(series_by_mod, ref_series, lbl_path)
+        n = _rasterize(series_by_mod, ref_series, lbl_path, contour_tfm)
         written.append(lbl_path)
         print(f"{case_name}: {n} ROI(s) -> {lbl_path.name}")
     return written

@@ -33,11 +33,19 @@ def _file(path: Path, body: bytes):
     path.write_bytes(b"\x00" * 128 + b"DICM" + meta + body)
 
 
-def _write_slice(path, z, rows=8, cols=10, value_base=100):
-    pix = (np.arange(rows * cols, dtype=np.uint16) + value_base + z).tobytes()
+def _write_slice(path, z, rows=8, cols=10, value_base=100, pix=None,
+                 series_uid=None, frame_uid=None):
+    if pix is None:
+        pix = (np.arange(rows * cols, dtype=np.uint16) + value_base + z).tobytes()
+    uid_els = []
+    if series_uid:
+        uid_els.append(_el(0x0020, 0x000E, b"UI", _pad(series_uid)))
+    if frame_uid:
+        uid_els.append(_el(0x0020, 0x0052, b"UI", _pad(frame_uid)))
     body = b"".join(
         [
             _el(0x0008, 0x0060, b"CS", _pad("MR")),
+            *uid_els,
             _el(0x0020, 0x0032, b"DS", _pad(f"0\\0\\{z * 2.0}")),
             _el(0x0020, 0x0037, b"DS", _pad("1\\0\\0\\0\\1\\0")),
             _el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
@@ -55,7 +63,8 @@ def _item(body: bytes) -> bytes:
     return struct.pack("<HHI", 0xFFFE, 0xE000, len(body)) + body
 
 
-def _write_rtstruct(path, square_mm=((2, 2), (6, 6)), zs=(2.0, 4.0)):
+def _write_rtstruct(path, square_mm=((2, 2), (6, 6)), zs=(2.0, 4.0),
+                    ref_series_uid=None, ref_frame_uid=None):
     (x0, y0), (x1, y1) = square_mm
     contours = b""
     for z in zs:
@@ -67,14 +76,22 @@ def _write_rtstruct(path, square_mm=((2, 2), (6, 6)), zs=(2.0, 4.0)):
     contour_seq = _item(
         _el(0x3006, 0x0084, b"IS", _pad("1")) + _el(0x3006, 0x0040, b"SQ", contours)
     )
-    body = b"".join(
-        [
-            _el(0x0008, 0x0060, b"CS", _pad("RTSTRUCT")),
-            _el(0x3006, 0x0020, b"SQ", roi_seq),
-            _el(0x3006, 0x0039, b"SQ", contour_seq),
-        ]
-    )
-    _file(path, body)
+    els = [_el(0x0008, 0x0060, b"CS", _pad("RTSTRUCT"))]
+    if ref_series_uid or ref_frame_uid:
+        # Referenced Frame of Reference Sequence: frame UID + nested
+        # RTReferencedStudy -> RTReferencedSeries -> SeriesInstanceUID
+        series_item = _item(_el(0x0020, 0x000E, b"UI", _pad(ref_series_uid or "")))
+        study_item = _item(_el(0x3006, 0x0014, b"SQ", series_item))
+        frame_body = (
+            (_el(0x0020, 0x0052, b"UI", _pad(ref_frame_uid)) if ref_frame_uid else b"")
+            + _el(0x3006, 0x0012, b"SQ", study_item)
+        )
+        els.append(_el(0x3006, 0x0010, b"SQ", _item(frame_body)))
+    els += [
+        _el(0x3006, 0x0020, b"SQ", roi_seq),
+        _el(0x3006, 0x0039, b"SQ", contour_seq),
+    ]
+    _file(path, b"".join(els))
 
 
 @pytest.fixture
@@ -193,6 +210,66 @@ def test_convert_case_register_t2_with_shipped_tfm(dicom_case_two_series, tmp_pa
     # the label rasterizes on the reference (T2) grid
     lbl = load_nifti(out / "vs_gk_2_Label.nii.gz").get_fdata()
     assert lbl.shape == t2.shape and lbl.sum() > 0
+
+
+@pytest.fixture
+def dicom_case_registered_contours(tmp_path):
+    """Distinct frames of reference + a NON-identity shipped transform, with
+    the RTSTRUCT defined on the MOVING (T1) series — the real TCIA shape the
+    reference handles via RTSS.SetAndObserveTransformNodeID
+    (`data_conversion.py:495-505`)."""
+    from deep_staple_tpu.tools.register import write_itk_tfm
+
+    case = tmp_path / "vs_gk_3"
+    (case / "MR_t1").mkdir(parents=True)
+    (case / "MR_t2").mkdir()
+    (case / "RTSTRUCT").mkdir()
+    for z in range(5):
+        _write_slice(case / "MR_t2" / f"slice{z}.dcm", z, value_base=100,
+                     series_uid="1.2.3.S2", frame_uid="1.2.3.F2")
+    for z in range(5):
+        # constant per-slice values so the resample shift is observable
+        pix = np.full(8 * 10, 50 + 10 * z, np.uint16).tobytes()
+        _write_slice(case / "MR_t1" / f"slice{z}.dcm", z, pix=pix,
+                     series_uid="1.2.3.S1", frame_uid="1.2.3.F1")
+    # pull-back (the .tfm file matrix): p_T1 = p_T2 + 4mm along z
+    tfm = np.eye(4)
+    tfm[2, 3] = 4.0
+    write_itk_tfm(case / "MR_t1" / "inv_T1_LPS_to_T2_LPS.tfm", tfm)
+    # contours in MOVING (T1) world coords at z = 6, 8 mm, referencing T1
+    _write_rtstruct(case / "RTSTRUCT" / "rs.dcm", zs=(6.0, 8.0),
+                    ref_series_uid="1.2.3.S1", ref_frame_uid="1.2.3.F1")
+    return case
+
+
+def test_rtstruct_references(dicom_case_registered_contours):
+    from deep_staple_tpu.tools.dicom import rtstruct_references
+
+    refs = rtstruct_references(
+        dicom_case_registered_contours / "RTSTRUCT" / "rs.dcm"
+    )
+    assert refs["frame_of_reference"] == "1.2.3.F1"
+    assert refs["series_uids"] == ["1.2.3.S1"]
+
+
+def test_registered_contours_ride_the_transform(dicom_case_registered_contours, tmp_path):
+    """--register T2 with contours defined on the moving T1 series and a
+    non-identity .tfm: the exported label must land where the REGISTERED
+    image content lands (fixed world z = moving z - 4mm -> slices 1, 2), not
+    at the raw contour z (slices 3, 4)."""
+    from deep_staple_tpu.data.nifti import load_nifti
+
+    out = tmp_path / "out_reg"
+    convert_case(dicom_case_registered_contours, out, register="T2")
+
+    # image: fixed slice s samples moving world z = 2s + 4 -> value 50+10(s+2)
+    reg = load_nifti(out / "vs_gk_3_mr_t1_refT2.nii.gz").get_fdata()
+    for s in range(0, 3):
+        np.testing.assert_allclose(reg[:, :, s], 50 + 10 * (s + 2), rtol=1e-6)
+
+    lbl = load_nifti(out / "vs_gk_3_Label.nii.gz").get_fdata()
+    assert lbl[:, :, 1].sum() > 0 and lbl[:, :, 2].sum() > 0
+    assert lbl[:, :, 3].sum() == 0 and lbl[:, :, 4].sum() == 0
 
 
 def test_convert_case_register_estimates_when_no_tfm(dicom_case_two_series, tmp_path):
