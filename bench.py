@@ -217,9 +217,17 @@ def _wait_for_healthy_tpu(attempts: int = 3, canary_timeout: int = 300,
     timeout first; on a wedge, back off and retry instead of hanging the
     whole benchmark. After a healthy canary, wait `settle` seconds so the
     real run itself is not the too-soon next client.
+
+    The canary doubles as the platform-name repair point: a box re-image can
+    leave a stale JAX_PLATFORMS ('axon' when only 'tpu' registers, r4). That
+    failure is a fast unknown-backend error, not a hang — parse the known
+    list from the child's stderr, rewrite the env (this process has not
+    initialized jax yet), and retry immediately without the wedge backoff.
     """
     import os
     import subprocess
+
+    from deep_staple_tpu.core.platform import _parse_known_backends, pick_replacement
 
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return
@@ -228,6 +236,7 @@ def _wait_for_healthy_tpu(attempts: int = 3, canary_timeout: int = 300,
         "x = jnp.ones((128, 128)) + 1; "
         "assert float(np.asarray(x).sum()) > 0; print('canary-ok')"
     )
+    renamed = False
     for attempt in range(attempts):
         t0 = time.time()
         try:
@@ -240,6 +249,17 @@ def _wait_for_healthy_tpu(attempts: int = 3, canary_timeout: int = 300,
                 time.sleep(settle)
                 return
             _eprint(f"tpu canary rc={proc.returncode}: {proc.stderr.strip()[-200:]}")
+            known = _parse_known_backends(proc.stderr)
+            if known and not renamed:
+                repl = pick_replacement(known)
+                _eprint(f"canary hit a stale platform name (known: {known}); "
+                        f"retrying with JAX_PLATFORMS={repl or 'auto'!r}")
+                if repl:
+                    os.environ["JAX_PLATFORMS"] = repl
+                else:
+                    os.environ.pop("JAX_PLATFORMS", None)
+                renamed = True
+                continue  # name repair, not a wedge: no backoff
         except subprocess.TimeoutExpired:
             _eprint(f"tpu canary timed out after {canary_timeout}s "
                     f"(attempt {attempt + 1}/{attempts}) — tunnel likely wedged")
@@ -333,17 +353,19 @@ def main(argv=None):
 
     if args.deadline > 0:
         _start_watchdog(args.deadline)
-    # The box can be re-imaged between rounds and the TPU plugin's registered
-    # platform NAME is not stable (r4: 'axon' -> 'tpu' while the env still
-    # exported the stale name) — normalize BEFORE any jax import or canary.
+    # Canary FIRST: normalize_jax_platforms initializes the backend
+    # IN-PROCESS (core/platform.py — a subprocess probe counts as a second
+    # TPU client and wedges the tunnel), so on a wedged tunnel it would hang
+    # bench itself. The canary subprocess also repairs a stale platform name
+    # (box re-image, r4: 'axon' -> 'tpu') from its own failure message.
+    if not args.skip_canary:
+        _wait_for_healthy_tpu()
     try:
         from deep_staple_tpu.core.platform import normalize_jax_platforms
 
         normalize_jax_platforms()
     except Exception as e:
         _eprint(f"platform normalization skipped: {e}")
-    if not args.skip_canary:
-        _wait_for_healthy_tpu()
 
     # HEADLINE: the production preset (TrainConfig.tpu_production — fused OOL,
     # fast-sep augment order: separable 3-pass warp on Mosaic lane-gather

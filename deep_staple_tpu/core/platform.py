@@ -10,17 +10,23 @@ value the image itself exports) failed backend resolution with
 
 while ``JAX_PLATFORMS=tpu`` reached the same chip; minutes later 'axon'
 registered fine too. Unattended entry points (bench.py, ``__graft_entry__``,
-the CLIs) must survive both a renamed platform and a late-registering
-plugin, so they call :func:`normalize_jax_platforms` BEFORE the first
-``import jax``.
+the CLIs via core/cache.py) must survive both a renamed platform and a
+late-registering plugin.
 
-The probe is deliberately tunnel-safe: it lists the *registered backend
-factories* in a ``JAX_PLATFORMS=cpu`` subprocess (plugin factories register
-at import/discovery; only initialization opens the tunnel), so it never
-counts as a TPU client — launching TPU clients back-to-back wedges the
-tunnel (CLAUDE.md). Only when the configured platform name is absent from
-the registry does it rewrite ``os.environ['JAX_PLATFORMS']`` to the best
-registered accelerator name.
+The recovery is deliberately IN-PROCESS and lazy: initialize the backend,
+and only if that raises jax's unknown-backend error, parse the known-backend
+list out of the message, rewrite the platform config, and retry once. An
+earlier revision probed the registry in a ``JAX_PLATFORMS=cpu`` subprocess —
+that was wrong on this image: the accelerator plugin's sitecustomize runs in
+EVERY interpreter and its ``register()`` does
+``jax.config.update("jax_platforms", "axon,cpu")``, overriding the env var,
+so the "cpu-only" probe initialized the remote backend and counted as a full
+TPU client. Launching TPU clients back-to-back wedges the tunnel (CLAUDE.md:
+<~2 min between client launches); the probe put every entry point's real
+client inside that window (observed: bench.py's canary timing out right
+after the probe, 2026-08-19). In-process there is exactly ONE client — the
+entry point itself — and a failed resolution caches nothing
+(``xla_bridge.backends()`` only memoizes on success), so the retry is safe.
 
 No reference counterpart (the reference assumes a local CUDA device,
 ``main_deep_staple.py:35``).
@@ -30,19 +36,9 @@ from __future__ import annotations
 
 import os
 import re
-import subprocess
 import sys
 
 _KNOWN_RE = re.compile(r"not in the list of known backends:\s*\[([^\]]*)\]")
-
-# Runs with JAX_PLATFORMS=cpu: factory registration (including PJRT plugin
-# discovery) happens during backends() resolution, but only the *selected*
-# platform is initialized — the accelerator tunnel is never touched.
-_PROBE = (
-    "import jax; jax.devices(); "
-    "from jax._src import xla_bridge; "
-    "print('KNOWN', ','.join(sorted(xla_bridge._backend_factories.keys())))"
-)
 
 
 def _parse_known_backends(text: str) -> list[str]:
@@ -63,57 +59,55 @@ def pick_replacement(known: list[str]) -> str:
     return ""
 
 
-def registered_platforms(timeout: int = 120) -> list[str]:
-    """Backend factory names registered in a fresh CPU-only interpreter.
+def _try_backends() -> None:
+    """Resolve + initialize jax's backends (isolated for tests)."""
+    import jax
 
-    Returns [] when the probe fails (old jax private-attr drift, broken
-    install) — callers must treat that as "unknown", not "none"."""
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", _PROBE],
-            capture_output=True, text=True, timeout=timeout, env=env,
-        )
-    except Exception:
-        return []
-    for line in reversed(proc.stdout.splitlines()):
-        if line.startswith("KNOWN "):
-            return [t for t in line[len("KNOWN "):].split(",") if t]
-    return []
+    jax.devices()
+
+
+def _apply_platform(value: str) -> None:
+    """Point both the live jax config and the env (for child processes) at
+    ``value`` ('' = auto-pick)."""
+    import jax
+
+    jax.config.update("jax_platforms", value or "")
+    if value:
+        os.environ["JAX_PLATFORMS"] = value
+    else:
+        os.environ.pop("JAX_PLATFORMS", None)
 
 
 _NORMALIZED = False  # once per process: the answer cannot change underneath us
 
 
-def normalize_jax_platforms(timeout: int = 120, verbose: bool = True) -> str:
-    """Fix a stale/unregistered ``JAX_PLATFORMS`` env var in-place.
+def normalize_jax_platforms(verbose: bool = True) -> str:
+    """Initialize the backend, repairing a stale/unregistered platform name.
 
-    Must be called before the first ``import jax`` in this process (jax
-    freezes the platform at backend init). Returns the final env value.
-    Leaves the environment untouched when the configured name is registered,
-    or when the registry probe itself fails. Memoized: repeat calls are free.
+    Returns the effective platform string ('' = jax auto-pick). No-op on
+    cpu (never forces an accelerator connection under a CPU override) and
+    memoized. Raises when even the replacement platform fails — entry points
+    that must not die wrap this in try/except (core/cache.py does).
     """
     global _NORMALIZED
     plats = os.environ.get("JAX_PLATFORMS", "")
     if plats in ("", "cpu") or _NORMALIZED:
         return plats
     _NORMALIZED = True
-    known = registered_platforms(timeout=timeout)
-    if not known:
-        return plats  # probe failed: don't guess
-    wanted = [p for p in plats.split(",") if p]
-    if all(p in known for p in wanted):
+    try:
+        _try_backends()
         return plats
-    repl = pick_replacement(known)
-    if verbose:
-        print(
-            f"deep_staple_tpu: JAX_PLATFORMS={plats!r} is not registered in this "
-            f"image (known: {known}); normalizing to {repl or 'auto'!r}",
-            file=sys.stderr,
-        )
-    if repl:
-        os.environ["JAX_PLATFORMS"] = repl
-    else:
-        os.environ.pop("JAX_PLATFORMS", None)
-    return repl
+    except RuntimeError as err:
+        known = _parse_known_backends(str(err))
+        if not known:
+            raise
+        repl = pick_replacement(known)
+        if verbose:
+            print(
+                f"deep_staple_tpu: JAX_PLATFORMS={plats!r} is not registered in "
+                f"this image (known: {known}); normalizing to {repl or 'auto'!r}",
+                file=sys.stderr,
+            )
+        _apply_platform(repl)
+        _try_backends()
+        return repl
