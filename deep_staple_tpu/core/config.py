@@ -186,6 +186,14 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     profile_epoch: int = 1  # epoch whose steps are traced
 
+    def __post_init__(self):
+        # Typo'd modes previously fell through every `== 'async'` /
+        # `in ('async', 'slab')` check and silently trained with exact BN.
+        if self.bn_mode not in ("batch", "async", "slab"):
+            raise ValueError(
+                f"bn_mode {self.bn_mode!r} (expected 'batch', 'async' or 'slab')"
+            )
+
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)
 

@@ -71,6 +71,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .augment import _unnormalize_ac_false as _unnorm
 from .resample import resize_nd
 
 _AFFINE_GUARD = 0.05  # |denominator| floor for the per-sample linear solves
@@ -86,13 +87,11 @@ class SepWarpFields(NamedTuple):
 
 
 def _norm_coords_at(vox, size):
-    """Normalized coord of a (possibly fractional) voxel position
-    (align_corners=False: u = (2v+1)/size - 1)."""
+    """Normalized coord of a (possibly fractional) voxel position — the
+    inverse of `augment._unnormalize_ac_false` (imported above as `_unnorm`,
+    the ONE copy of the align_corners=False convention both warps share:
+    u = (2v+1)/size - 1)."""
     return (2.0 * vox + 1.0) / size - 1.0
-
-
-def _unnorm(u, size):
-    return ((u + 1.0) * size - 1.0) / 2.0
 
 
 def _guard(x):

@@ -61,6 +61,7 @@ class PipelineStage0(nn.Module):
     axis_name: Optional[str] = None
     depthwise_impl: str = "auto"
     use_checkpointing: bool = False
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -70,7 +71,7 @@ class PipelineStage0(nn.Module):
             lom_cls = nn.remat(lom_cls, static_argnums=(2,))
         kw = dict(
             axis_name=self.axis_name, dtype=self.dtype,
-            depthwise_impl=self.depthwise_impl,
+            depthwise_impl=self.depthwise_impl, bn_mode=self.bn_mode,
         )
         x = x.astype(self.dtype or x.dtype)
         high = him_cls(**kw, name="him")(x, train)
@@ -88,6 +89,7 @@ class PipelineStage1(nn.Module):
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None
     use_checkpointing: bool = False
+    bn_mode: str = "batch"
 
     @nn.compact
     def __call__(self, high, low, train: bool = False):
@@ -96,7 +98,7 @@ class PipelineStage1(nn.Module):
         if self.use_checkpointing:
             aspp_cls = nn.remat(aspp_cls, static_argnums=(2,))
             head_cls = nn.remat(head_cls, static_argnums=(3,))
-        kw = dict(axis_name=self.axis_name, dtype=self.dtype)
+        kw = dict(axis_name=self.axis_name, dtype=self.dtype, bn_mode=self.bn_mode)
         low = aspp_cls(dropout_rate=self.dropout_rate, **kw, name="aspp")(low, train)
         y = head_cls(num_classes=self.num_classes, **kw, name="head")(low, high, train)
         y = y.astype(jnp.float32)
@@ -142,30 +144,22 @@ class GPipe2:
         devices = devices if devices is not None else jax.devices()
         if len(devices) < 2:
             raise ValueError("GPipe2 needs at least 2 devices")
-        # Surface the one semantics difference vs the unsplit model up front
-        # (param grads are exactly sequential-accumulation; BN stats are not).
-        import warnings
-
-        warnings.warn(
-            "GPipe2: with n_micro > 1, BatchNorm batch_stats follow "
-            "parallel-accumulation semantics (each microbatch updates from "
-            "the same initial stats, then the momentum updates are averaged) "
-            "— NOT the serially-threaded stats of a sequential loop. Param "
-            "gradients are exact. See the module docstring.",
-            stacklevel=2,
-        )
         self.d0, self.d1 = devices[0], devices[1]
         self.loss_fn = loss_fn
+        self._bn_semantics_warned = False
+        bn_mode = getattr(model, "bn_mode", "batch")
         self.stage0 = PipelineStage0(
             dtype=model.dtype, axis_name=model.axis_name,
             depthwise_impl=model.depthwise_impl,
             use_checkpointing=model.use_checkpointing,
+            bn_mode=bn_mode,
         )
         self.stage1 = PipelineStage1(
             num_classes=model.num_classes, out_spatial=tuple(in_spatial),
             head_type=model.head_type, dropout_rate=model.dropout_rate,
             dtype=model.dtype, axis_name=model.axis_name,
             use_checkpointing=model.use_checkpointing,
+            bn_mode=bn_mode,
         )
 
         def fwd0(v0, x):
@@ -229,6 +223,21 @@ class GPipe2:
         B = x.shape[0]
         if B % n_micro:
             raise ValueError(f"batch {B} not divisible by {n_micro} microbatches")
+        if n_micro > 1 and not self._bn_semantics_warned:
+            # The one semantics difference vs the unsplit model — and it only
+            # exists with real microbatching (n_micro=1 IS the sequential
+            # loop), so warn here rather than at construction.
+            import warnings
+
+            warnings.warn(
+                "GPipe2: with n_micro > 1, BatchNorm batch_stats follow "
+                "parallel-accumulation semantics (each microbatch updates "
+                "from the same initial stats, then the momentum updates are "
+                "averaged) — NOT the serially-threaded stats of a sequential "
+                "loop. Param gradients are exact. See the module docstring.",
+                stacklevel=2,
+            )
+            self._bn_semantics_warned = True
         m = B // n_micro
         xs = [jax.device_put(x[i * m:(i + 1) * m], self.d0) for i in range(n_micro)]
         ys = [jax.device_put(labels[i * m:(i + 1) * m], self.d1) for i in range(n_micro)]

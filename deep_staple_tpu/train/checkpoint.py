@@ -67,12 +67,10 @@ def save_checkpoint(path, state: DeepStapleState, config: TrainConfig | None = N
     elif backend == "orbax":
         ocp, ckptr = _orbax_checkpointer()
         target = (path / "state.orbax").resolve()
-        if p0:
-            if target.exists():
-                import shutil
+        if p0 and target.exists():
+            import shutil
 
-                shutil.rmtree(target)
-            (path / "state.msgpack").unlink(missing_ok=True)
+            shutil.rmtree(target)
         if jax.process_count() > 1:
             from ..parallel.multihost import coordination_barrier
 
@@ -91,6 +89,13 @@ def save_checkpoint(path, state: DeepStapleState, config: TrainConfig | None = N
                 state,
             )
         ckptr.save(target, args=ocp.args.StandardSave(state))
+        if p0:
+            # Only after the orbax save landed: until then the msgpack file
+            # from a previous run at this path is the last restorable state
+            # (restore prefers state.orbax, so it cannot shadow the fresh
+            # save; deleting it up-front would leave NOTHING restorable if
+            # the collective save crashed mid-way).
+            (path / "state.msgpack").unlink(missing_ok=True)
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
     if config is not None and p0:

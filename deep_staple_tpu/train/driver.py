@@ -76,6 +76,16 @@ def make_model(config: TrainConfig, num_classes: int):
     in_ch = 12 if config.use_mind else 1
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
     if config.use_2d_normal_to is not None:
+        if config.bn_mode != "batch":
+            # The 2D model is the torchvision-parity restatement and carries
+            # no bn_mode lever (the async/slab BN bandwidth levers are 3D
+            # volume optimizations, models/norm.py) — say so instead of
+            # silently training with exact BN while the driver builds a
+            # pointless warmup model.
+            print(
+                f"bn_mode {config.bn_mode!r} is a 3D-path lever; the 2D model "
+                "uses exact BatchNorm"
+            )
         return LRASPPMobileNetV3Large2D(num_classes=num_classes, dtype=dtype), in_ch
     return (
         MobileNetLRASPP3D(
@@ -355,7 +365,10 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
         # step-1 normalization amplifies Adam's first full-lr jump through
         # low-variance channels (core/config.py bn_warmup_epochs).
         warmup_step, warmup_epochs = None, 0
-        if config.bn_mode == "async" and config.bn_warmup_epochs > 0:
+        if (
+            config.bn_mode == "async" and config.bn_warmup_epochs > 0
+            and config.use_2d_normal_to is None  # 2D model has no bn_mode
+        ):
             warmup_epochs = config.bn_warmup_epochs
             warmup_model, _ = make_model(config.replace(bn_mode="slab"), num_classes)
             warmup_step = make_train_step(

@@ -1,6 +1,7 @@
 """Disturbance engine determinism + checkpoint round-trip."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -90,3 +91,23 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
     save_checkpoint(p, state.replace(step=jnp.asarray(11, jnp.int32)), backend="msgpack")
     assert not (p / "state.orbax").exists()
     assert int(restore_checkpoint(p, fresh).step) == 11
+
+    # crash-safety of the msgpack->orbax switch: the old msgpack must
+    # survive until the orbax save LANDS — a failed collective save may not
+    # leave the path with nothing restorable (checkpoint.py save ordering)
+    import deep_staple_tpu.train.checkpoint as ckpt_mod
+
+    real = ckpt_mod._orbax_checkpointer
+
+    class _Boom:
+        def save(self, *a, **kw):
+            raise RuntimeError("simulated mid-save crash")
+
+    try:
+        ckpt_mod._orbax_checkpointer = lambda: (real()[0], _Boom())
+        with pytest.raises(RuntimeError, match="simulated"):
+            save_checkpoint(p, state, backend="orbax")
+    finally:
+        ckpt_mod._orbax_checkpointer = real
+    assert (p / "state.msgpack").exists()
+    assert int(restore_checkpoint(p, fresh).step) == 11  # still restorable

@@ -273,3 +273,28 @@ def test_slab_model_is_param_drop_in():
     yb = mb.apply(vb, xr, train=False)["out"]
     ys = ms.apply({"params": vb["params"], "batch_stats": vs["batch_stats"]}, xr, train=False)["out"]
     np.testing.assert_allclose(np.asarray(ys), np.asarray(yb), rtol=1e-6, atol=1e-6)
+
+
+def test_bn_mode_validated_at_config_construction():
+    # A typo'd mode used to fall through every `== 'async'` check and
+    # silently train with exact BN; now it's a construction-time error.
+    import pytest
+
+    from deep_staple_tpu.core.config import TrainConfig
+
+    with pytest.raises(ValueError, match="bn_mode"):
+        TrainConfig(bn_mode="asnyc")
+    with pytest.raises(ValueError, match="bn_mode"):
+        TrainConfig(bn_mode="async").replace(bn_mode="")
+
+
+def test_gpipe_stages_carry_bn_mode():
+    # GPipe2 must build its stages with the wrapped model's bn_mode, or the
+    # pipeline silently runs exact BN while claiming to match an async model.
+    from deep_staple_tpu.models import MobileNetLRASPP3D
+    from deep_staple_tpu.parallel.pipeline import GPipe2
+
+    model = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False, bn_mode="async")
+    pp = GPipe2(model, lambda lo, la: 0.0, in_spatial=(8, 8, 6))
+    assert pp.stage0.bn_mode == "async"
+    assert pp.stage1.bn_mode == "async"
