@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 from pathlib import Path
 
 import numpy as np
@@ -19,13 +20,42 @@ _LIB = None
 _LIB_SEARCHED = False
 
 
+def _autobuild(native_dir: Path) -> None:
+    """Best-effort rebuild of the shared library from the checked-in source.
+
+    The host box can be re-imaged between sessions: the repo persists but
+    build artifacts (the .so) are wiped, silently dropping ingest to the
+    sequential Python reader. When the library is missing but its source and
+    build script are present, compile it once (bounded, failures ignored —
+    the Python fallback still works). Opt out with DEEPSTAPLE_NO_AUTOBUILD=1.
+    """
+    if os.environ.get("DEEPSTAPLE_NO_AUTOBUILD"):
+        return
+    build = native_dir / "build.sh"
+    if not (build.is_file() and (native_dir / "deepstaple_native.cpp").is_file()):
+        return
+    try:
+        subprocess.run(
+            ["sh", str(build)], timeout=180, check=False,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
 def _find_lib():
     global _LIB, _LIB_SEARCHED
     if _LIB_SEARCHED:
         return _LIB
     _LIB_SEARCHED = True
-    here = Path(__file__).resolve().parent.parent.parent / "native"
-    for cand in (here / "libdeepstaple_io.so", Path(os.environ.get("DEEPSTAPLE_IO_LIB", ""))):
+    here = Path(
+        os.environ.get("DEEPSTAPLE_NATIVE_DIR")
+        or Path(__file__).resolve().parent.parent.parent / "native"
+    )
+    candidates = (here / "libdeepstaple_io.so", Path(os.environ.get("DEEPSTAPLE_IO_LIB", "")))
+    if not any(str(c) and c.is_file() for c in candidates):
+        _autobuild(here)
+    for cand in candidates:
         if cand and cand.is_file():
             try:
                 lib = ctypes.CDLL(str(cand))

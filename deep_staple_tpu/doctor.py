@@ -183,7 +183,10 @@ def check_native() -> bool:
 
         lib = _find_lib()
         if lib is None:
-            _report("native C++ lib", WARN, "not built (run native/build.sh for fast IO)")
+            # _find_lib already attempted an autobuild from source; reaching
+            # here means it failed (no toolchain?) or was opted out.
+            _report("native C++ lib", WARN,
+                    "absent and autobuild failed (run native/build.sh for fast IO)")
         else:
             _report("native C++ lib", OK, "")
     except Exception as e:

@@ -1,5 +1,7 @@
 """NIfTI round-trip (Python + native C++ loader), snapshot I/O, numpy op mirrors."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -272,6 +274,56 @@ def test_native_loader_rejects_truncated_file(tmp_path, rng):
     buf = ctypes.POINTER(ctypes.c_float)()
     rc = lib.ds_load_nifti_f32(str(p).encode(), dims, ctypes.byref(buf))
     assert rc != 0  # clean error, no OOB read
+
+
+def test_native_loader_autobuilds_after_reimage(tmp_path, rng, monkeypatch):
+    """Box re-images wipe build artifacts but not the repo: when the .so is
+    missing and source + build.sh are present, `_find_lib` rebuilds it once
+    and the fast path comes back without manual intervention."""
+    import shutil
+
+    from deep_staple_tpu.data import native_io
+    from deep_staple_tpu.data.nifti import save_nifti
+
+    repo_native = Path(native_io.__file__).resolve().parent.parent.parent / "native"
+    if not (repo_native / "deepstaple_native.cpp").is_file():
+        pytest.skip("native source not present")
+    native_dir = tmp_path / "native"
+    native_dir.mkdir()
+    shutil.copy(repo_native / "deepstaple_native.cpp", native_dir)
+    shutil.copy(repo_native / "build.sh", native_dir)
+
+    monkeypatch.setenv("DEEPSTAPLE_NATIVE_DIR", str(native_dir))
+    monkeypatch.delenv("DEEPSTAPLE_NO_AUTOBUILD", raising=False)
+    monkeypatch.setattr(native_io, "_LIB", None)
+    monkeypatch.setattr(native_io, "_LIB_SEARCHED", False)
+    try:
+        lib = native_io._find_lib()
+        if lib is None and shutil.which("g++") is None:
+            pytest.skip("no C++ toolchain on this host")
+        assert lib is not None
+        assert (native_dir / "libdeepstaple_io.so").is_file()
+
+        v = rng.randn(6, 5, 4).astype(np.float32)
+        p = tmp_path / "v.nii.gz"
+        save_nifti(p, v)
+        np.testing.assert_allclose(
+            native_io.try_native_load(p), v.astype(np.float64), rtol=1e-6
+        )
+
+        # Opt-out: with the .so wiped again and autobuild disabled, the
+        # search degrades to the Python fallback instead of compiling.
+        (native_dir / "libdeepstaple_io.so").unlink()
+        monkeypatch.setenv("DEEPSTAPLE_NO_AUTOBUILD", "1")
+        monkeypatch.setattr(native_io, "_LIB", None)
+        monkeypatch.setattr(native_io, "_LIB_SEARCHED", False)
+        assert native_io._find_lib() is None
+        np.testing.assert_allclose(
+            native_io.try_native_load(p), v.astype(np.float64), rtol=1e-6
+        )
+    finally:
+        native_io._LIB = None
+        native_io._LIB_SEARCHED = False
 
 
 def test_right_side_flip_shares_arrays_across_atlas_instances(tmp_path, rng):
