@@ -18,6 +18,9 @@ from .nifti import load_nifti
 
 _LIB = None
 _LIB_SEARCHED = False
+# Last autobuild failure (returncode, stderr tail) — surfaced by the doctor so
+# a broken toolchain is distinguishable from a DEEPSTAPLE_NO_AUTOBUILD opt-out.
+LAST_AUTOBUILD_ERROR: str | None = None
 
 
 def _autobuild(native_dir: Path) -> None:
@@ -26,21 +29,47 @@ def _autobuild(native_dir: Path) -> None:
     The host box can be re-imaged between sessions: the repo persists but
     build artifacts (the .so) are wiped, silently dropping ingest to the
     sequential Python reader. When the library is missing but its source and
-    build script are present, compile it once (bounded, failures ignored —
-    the Python fallback still works). Opt out with DEEPSTAPLE_NO_AUTOBUILD=1.
+    build script are present, compile it once (bounded; failures are recorded
+    in LAST_AUTOBUILD_ERROR and native/autobuild.log — the Python fallback
+    still works). Opt out with DEEPSTAPLE_NO_AUTOBUILD=1.
+
+    Concurrency-safe: builds serialize on an flock'd lockfile, compile to a
+    per-pid temp name, and os.replace() into place (atomic on POSIX) so a
+    concurrent process can never dlopen a partially written .so.
     """
+    global LAST_AUTOBUILD_ERROR
     if os.environ.get("DEEPSTAPLE_NO_AUTOBUILD"):
         return
     build = native_dir / "build.sh"
     if not (build.is_file() and (native_dir / "deepstaple_native.cpp").is_file()):
         return
+    target = native_dir / "libdeepstaple_io.so"
+    tmp = native_dir / f".libdeepstaple_io.{os.getpid()}.so"
+    lockfile = native_dir / ".autobuild.lock"
     try:
-        subprocess.run(
-            ["sh", str(build)], timeout=180, check=False,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-    except (OSError, subprocess.TimeoutExpired):
-        pass
+        import fcntl
+
+        with open(lockfile, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if target.is_file():  # a concurrent builder won the race
+                return
+            proc = subprocess.run(
+                ["sh", str(build), str(tmp)], timeout=180, check=False,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+            )
+            if proc.returncode == 0 and tmp.is_file():
+                os.replace(tmp, target)
+            else:
+                err = (proc.stderr or b"").decode(errors="replace")[-2000:]
+                LAST_AUTOBUILD_ERROR = f"rc={proc.returncode}: {err}"
+                try:
+                    (native_dir / "autobuild.log").write_text(LAST_AUTOBUILD_ERROR)
+                except OSError:
+                    pass
+    except (OSError, subprocess.TimeoutExpired) as exc:
+        LAST_AUTOBUILD_ERROR = f"{type(exc).__name__}: {exc}"
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _find_lib():
@@ -52,11 +81,14 @@ def _find_lib():
         os.environ.get("DEEPSTAPLE_NATIVE_DIR")
         or Path(__file__).resolve().parent.parent.parent / "native"
     )
-    candidates = (here / "libdeepstaple_io.so", Path(os.environ.get("DEEPSTAPLE_IO_LIB", "")))
-    if not any(str(c) and c.is_file() for c in candidates):
+    candidates = [here / "libdeepstaple_io.so"]
+    env_lib = os.environ.get("DEEPSTAPLE_IO_LIB")
+    if env_lib:
+        candidates.append(Path(env_lib))
+    if not any(c.is_file() for c in candidates):
         _autobuild(here)
     for cand in candidates:
-        if cand and cand.is_file():
+        if cand.is_file():
             try:
                 lib = ctypes.CDLL(str(cand))
                 lib.ds_load_nifti_f32.restype = ctypes.c_int

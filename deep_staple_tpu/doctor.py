@@ -179,14 +179,19 @@ def check_compile_caches() -> bool:
 
 def check_native() -> bool:
     try:
-        from .data.native_io import _find_lib
+        from .data import native_io
 
-        lib = _find_lib()
+        lib = native_io._find_lib()
         if lib is None:
             # _find_lib already attempted an autobuild from source; reaching
-            # here means it failed (no toolchain?) or was opted out.
+            # here means it failed or was opted out. The autobuilder records
+            # the compiler's stderr so the cause is actionable.
+            if os.environ.get("DEEPSTAPLE_NO_AUTOBUILD"):
+                why = "autobuild opted out via DEEPSTAPLE_NO_AUTOBUILD=1"
+            else:
+                why = native_io.LAST_AUTOBUILD_ERROR or "autobuild failed (no error recorded)"
             _report("native C++ lib", WARN,
-                    "absent and autobuild failed (run native/build.sh for fast IO)")
+                    f"absent: {why} (run native/build.sh for fast IO)")
         else:
             _report("native C++ lib", OK, "")
     except Exception as e:
