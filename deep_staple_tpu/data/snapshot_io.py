@@ -107,12 +107,17 @@ def load_snapshot(path) -> dict:
         raw = torch.load(path, map_location="cpu")
         out = {}
         for k, v in raw.items():
+            # Real reference snapshots store the DP embedding weights with
+            # requires_grad=True (main_deep_staple.py:974 saves the live
+            # parameter) — detach before any numpy conversion.
+            if hasattr(v, "detach"):
+                v = v.detach()
             if hasattr(v, "to_dense"):
                 v = v.to_dense()
             if hasattr(v, "numpy"):
                 v = v.numpy()
             if isinstance(v, (list, tuple)) and v and hasattr(v[0], "to_dense"):
-                v = np.stack([e.to_dense().numpy() for e in v])
+                v = np.stack([e.detach().to_dense().numpy() for e in v])
             out[k] = v
         return out
 
