@@ -60,9 +60,47 @@ def _enable_compile_cache():
         pass
 
 
+def _profile_device_ms(once, iters: int = 3):
+    """Total XLA-Ops device time per step from a short profiler trace.
+
+    Wall timings over the axon tunnel carry a ~29ms dispatch+sync floor
+    (CLAUDE.md); the xplane trace's device_duration is the honest on-chip
+    number (same parsing as benchmarks/profile_model.py)."""
+    import glob as _glob
+    import tempfile
+
+    import jax
+
+    trace_dir = tempfile.mkdtemp(prefix="benchtrace_")
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(iters):
+        once()
+    jax.profiler.stop_trace()
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    total_ps = 0
+    for path in _glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                           recursive=True):
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name and not plane.name.startswith("/device"):
+                continue
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    total_ps += ev.duration_ps
+    if total_ps == 0:
+        return None
+    return total_ps / 1e9 / iters
+
+
 def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
                            ool_mode: str = "strict", augment_order: str = "reference",
-                           use_checkpointing: bool = True, bn_mode: str = "batch") -> float:
+                           use_checkpointing: bool = True, bn_mode: str = "batch",
+                           profile: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -115,7 +153,23 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
         f"TPU train step [{ool_mode}/{augment_order}/remat={use_checkpointing}]: "
         f"{sec*1000:.1f} ms/step (median of {steps})"
     )
-    return sec
+    if not profile:
+        return sec
+    device_ms = None
+    try:
+        holder = {"state": state, "key": key}
+
+        def once():
+            holder["key"], k = jax.random.split(holder["key"])
+            holder["state"], m = train_step(holder["state"], batch, 0.01, k)
+            return float(np.asarray(m["loss"]))
+
+        device_ms = _profile_device_ms(once)
+        if device_ms:
+            _eprint(f"  device time (profiler): {device_ms:.1f} ms/step")
+    except Exception as e:
+        _eprint(f"  device-time profiling skipped: {e}")
+    return sec, device_ms
 
 
 def measure_torch_baseline() -> float:
@@ -144,6 +198,43 @@ def measure_torch_baseline() -> float:
         )
     )
     return sec
+
+
+def measure_serving(batch: int = 2, spatial=(256, 256, 100), iters: int = 5):
+    """Serving throughput (VERDICT r4 #6): eval-mode forward + argmax at the
+    reference's validation/serving resolution (x2.0 eval scale of the
+    128x128x50 crop, `HybridIdLoader.py:336` -> 256x256x100), bf16, single
+    chip. Device-resident input; checkpoint restore and NIfTI I/O excluded
+    (host I/O is tunnel-bound in this environment). Returns volumes/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_staple_tpu.models import MobileNetLRASPP3D
+
+    model = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False,
+                              dtype=jnp.bfloat16)
+    x = jnp.zeros((batch,) + spatial + (1,), jnp.float32)
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1,) + spatial + (1,), jnp.float32), train=False))()
+
+    @jax.jit
+    def infer(variables, x):
+        out = model.apply(variables, x, train=False)["out"]
+        return jnp.argmax(out, axis=-1).astype(jnp.int32)
+
+    pred = infer(variables, x)
+    _ = int(np.asarray(pred).ravel()[0])  # host transfer = real sync
+    times = []
+    for _i in range(iters):
+        t0 = time.time()
+        pred = infer(variables, x)
+        _ = int(np.asarray(pred).ravel()[0])
+        times.append(time.time() - t0)
+    vps = batch / float(np.median(times))
+    _eprint(f"serving: {vps:.2f} volumes/s (eval fwd+argmax, b{batch} @ "
+            f"{spatial[0]}x{spatial[1]}x{spatial[2]} bf16)")
+    return vps
 
 
 def measure_consensus_fusion(cases: int = 4, raters: int = 10, spatial=(256, 256, 100)):
@@ -277,7 +368,7 @@ _EMITTED = False
 _HEADLINE_SEC: list[float] = []  # filled once the headline measurement lands
 
 
-def _emit(value: float, vs, error: str | None = None):
+def _emit(value: float, vs, error: str | None = None, extra: dict | None = None):
     global _EMITTED
     with _EMIT_LOCK:
         if _EMITTED:
@@ -288,10 +379,38 @@ def _emit(value: float, vs, error: str | None = None):
         "value": round(value, 4),
         "unit": "steps/s",
         "vs_baseline": (round(vs, 2) if vs is not None and vs == vs else None),
+        # vs_baseline compares this chip against the reference PyTorch step on
+        # THIS HOST's CPU (torch has no accelerator in this image; the
+        # reference never published GPU throughput — SURVEY.md §6). The ratio
+        # must not travel without that context.
+        "baseline_kind": "torch-cpu-same-host",
     }
+    if extra:
+        line.update(extra)
     if error:
         line["error"] = error
     print(json.dumps(line), flush=True)
+
+
+def _floor_and_mfu(device_ms):
+    """Aggregate per-op floor + MFU fields (benchmarks/floor_table.py)."""
+    try:
+        sys.path.insert(0, str(Path(__file__).parent / "benchmarks"))
+        from floor_table import MXU_TFLOPS, step_floor
+
+        info = step_floor()
+        out = {"floor_ms": round(info["floor_total_ms"], 1)}
+        if device_ms:
+            out["device_ms"] = round(device_ms, 1)
+            out["pct_of_floor"] = round(
+                info["floor_total_ms"] / device_ms * 100, 1)
+            out["mfu_pct"] = round(
+                info["model_flops_fwd_bwd"] / (device_ms / 1e3)
+                / (MXU_TFLOPS * 1e12) * 100, 2)
+        return out
+    except Exception as e:  # never break the headline
+        _eprint(f"floor/mfu fields skipped: {e}")
+        return {"device_ms": round(device_ms, 1)} if device_ms else {}
 
 
 def _cached_vs_baseline(sec_tpu: float):
@@ -377,11 +496,12 @@ def main(argv=None):
     # ~240ms/step (profiler-attributed). bn_mode='async' is the steady-state
     # step the driver runs after its 1-epoch slab warmup (models/norm.py;
     # measured 650.7 -> 558.0 ms on v5e-1).
-    sec_tpu = measure_tpu_train_step(
+    sec_tpu, device_ms = measure_tpu_train_step(
         args.steps, args.dtype, ool_mode="fused", augment_order="fast-sep",
-        use_checkpointing=False, bn_mode="async",
+        use_checkpointing=False, bn_mode="async", profile=True,
     )
     _HEADLINE_SEC.append(sec_tpu)
+    extra = _floor_and_mfu(device_ms)
     try:
         # previous production order (int8 quad-packed image warp + separate
         # label gather; also what non-binary datasets auto-downgrade to)
@@ -407,6 +527,10 @@ def main(argv=None):
     except Exception as e:
         _eprint(f"reference-bf16 bench skipped: {e}")
     try:
+        extra["serving_volumes_per_sec"] = round(measure_serving(), 2)
+    except Exception as e:
+        _eprint(f"serving bench skipped: {e}")
+    try:
         measure_consensus_fusion()
     except Exception as e:  # secondary metric; never break the headline
         _eprint(f"consensus bench skipped: {e}")
@@ -427,7 +551,7 @@ def main(argv=None):
             _eprint(f"baseline measurement failed: {e}")
             vs = None
 
-    _emit(value, vs)
+    _emit(value, vs, extra=extra)
 
 
 if __name__ == "__main__":

@@ -155,9 +155,10 @@ def stage_reference(workdir: Path, ds_dir: Path, art, epochs, batch_size,
         tsrc = tu.read_text()
         tsrc = _patch(tsrc, "torch.manual_seed(0)",
                       f"torch.manual_seed({seed_offset})", 1)
-        tsrc = _patch(tsrc, "random.seed(0)", f"random.seed({seed_offset})", 1)
+        # np.random first: "random.seed(0)" is a substring of it.
         tsrc = _patch(tsrc, "np.random.seed(0)",
                       f"np.random.seed({seed_offset})", 1)
+        tsrc = _patch(tsrc, "random.seed(0)", f"random.seed({seed_offset})", 1)
         tu.write_text(tsrc)
     return ref_dir
 

@@ -26,10 +26,94 @@ from ..core.determinism import reset_determinism
 from ..data.crossmoda import CrossmodaHybridIdDataset, get_crossmoda_data_load_closure
 
 
-def _load_torch_artifact(path):
+class ArtifactError(ValueError):
+    """A real registration artifact is missing or malformed; the message says
+    exactly what was expected and how to obtain the file (VERDICT r4 #9)."""
+
+
+def _load_torch_artifact(path, expect: str | None = None):
+    path = Path(path).resolve()
+    if not path.is_file():
+        raise ArtifactError(
+            f"registration artifact not found: {path}\n"
+            "This is one of the reference's pre-registered noisy-label sets "
+            "(optimal_reg_left/right.pth, crossmoda_deeds_registered.pth, "
+            "crossmoda_convex_registered_new_convex.pth). Download them with "
+            "the reference repo's data_artifacts/download_artifacts.sh and "
+            "unpack so that data_artifacts/ sits NEXT TO the dataset "
+            "directory (main_deep_staple.py:218)."
+        )
     import torch
 
-    return torch.load(path, map_location="cpu")
+    art = torch.load(path, map_location="cpu")
+    if expect:
+        _validate_artifact(art, expect, path)
+    return art
+
+
+def _validate_artifact(art, expect: str, path):
+    """Schema checks with actionable messages for the four real artifacts.
+
+    'optimal': {valid_{left|right}_t1: [ids], best_all, combined_all}
+        (main_deep_staple.py:170-199 consumption pattern).
+    'registrations': {fixed_id: {moving_id: {'warped_label': tensor}}}
+        (main_deep_staple.py:218-239).
+    """
+    if expect in ("optimal_left", "optimal_right"):
+        side = expect.split("_")[1]
+        ids_key = f"valid_{side}_t1"
+        missing = {ids_key, "best_all", "combined_all"} - set(art)
+        if missing:
+            raise ArtifactError(
+                f"{path} is not a valid optimal_reg_{side} artifact: missing "
+                f"key(s) {sorted(missing)}; expected {{'{ids_key}', 'best_all',"
+                " 'combined_all'}} per main_deep_staple.py:170-199. Re-download"
+                " with data_artifacts/download_artifacts.sh."
+            )
+        ids = list(art[ids_key])
+        bad = [i for i in ids if not re.match(r"^\d{1,3}[lr]$", str(i))]
+        if bad:
+            raise ArtifactError(
+                f"{path}: {ids_key} contains malformed case ids {bad[:5]} "
+                "(expected '<num>l'/'<num>r', e.g. '102l')."
+            )
+        for k in ("best_all", "combined_all"):
+            if not (hasattr(art[k], "__len__") and len(art[k]) > 0):
+                raise ArtifactError(
+                    f"{path}: '{k}' is empty or not indexable; expected a "
+                    "stack of warped 3D label volumes."
+                )
+    elif expect == "registrations":
+        if not hasattr(art, "items") or not len(art):
+            raise ArtifactError(
+                f"{path} is not a registrations artifact: expected a non-empty"
+                " dict {fixed_id: {moving_id: {'warped_label': volume}}} "
+                "(main_deep_staple.py:218-239)."
+            )
+        fixed_id, moving = next(iter(art.items()))
+        if not re.match(r"^\d{1,3}[lr]$", str(fixed_id)):
+            raise ArtifactError(
+                f"{path}: fixed-image key {fixed_id!r} is not a case id "
+                "('<num>l'/'<num>r'); wrong or corrupted artifact."
+            )
+        if not hasattr(moving, "items") or not len(moving):
+            raise ArtifactError(
+                f"{path}: entry {fixed_id!r} has no moving registrations; "
+                "expected {moving_id: {'warped_label': volume}}."
+            )
+        _, sample = next(iter(moving.items()))
+        if "warped_label" not in sample:
+            raise ArtifactError(
+                f"{path}: moving sample under {fixed_id!r} lacks "
+                f"'warped_label' (has {sorted(sample)[:6]}); wrong artifact "
+                "or schema drift."
+            )
+        wl = _to_np(sample["warped_label"])
+        if wl.ndim != 3:
+            raise ArtifactError(
+                f"{path}: warped_label has shape {wl.shape}; expected a 3D "
+                "volume (D, H, W)."
+            )
 
 
 def _to_np(x):
@@ -88,11 +172,19 @@ def prepare_data(config: TrainConfig):
             domain = "target"
 
         elif rs in ("mix_combined_best", "acummulate_combined_best", "best", "combined"):
-            left = _load_torch_artifact(base / ".." / "data_artifacts" / "20220113_crossmoda_optimal" / "optimal_reg_left.pth")
-            right = _load_torch_artifact(base / ".." / "data_artifacts" / "20220113_crossmoda_optimal" / "optimal_reg_right.pth")
+            left = _load_torch_artifact(base / ".." / "data_artifacts" / "20220113_crossmoda_optimal" / "optimal_reg_left.pth", expect="optimal_left")
+            right = _load_torch_artifact(base / ".." / "data_artifacts" / "20220113_crossmoda_optimal" / "optimal_reg_right.pth", expect="optimal_right")
             ids = list(left["valid_left_t1"]) + list(right["valid_right_t1"])
             best = np.concatenate([_to_np(left["best_all"])[:44], _to_np(right["best_all"])[:63]], 0)
             combined = np.concatenate([_to_np(left["combined_all"])[:44], _to_np(right["combined_all"])[:63]], 0)
+            if not (len(ids) == len(best) == len(combined)):
+                raise ArtifactError(
+                    f"optimal_reg artifacts misaligned: {len(ids)} case ids vs"
+                    f" {len(best)} 'best_all' / {len(combined)} 'combined_all'"
+                    " label volumes after the reference's [:44]/[:63] slices "
+                    "(main_deep_staple.py:170-199) — ids and labels would "
+                    "silently pair up wrong. Re-download the artifacts."
+                )
             if rs == "best":
                 atlas_count = 1
                 label_data = list(best)
@@ -123,19 +215,19 @@ def prepare_data(config: TrainConfig):
         elif rs == "acummulate_convex_adam_FT2_MT1":
             atlas_count = 10
             domain = "target"
-            bare = _load_torch_artifact(base / ".." / "data_artifacts" / "20220318_crossmoda_convex_adam_lr" / "crossmoda_convex_registered_new_convex.pth")
+            bare = _load_torch_artifact(base / ".." / "data_artifacts" / "20220318_crossmoda_convex_adam_lr" / "crossmoda_convex_registered_new_convex.pth", expect="registrations")
             label_data, loaded_identifier = _accumulate_registrations(bare, 3)
 
         elif rs == "acummulate_every_third_deeds_FT2_MT1":
             atlas_count = 10
             domain = "target"
-            bare = _load_torch_artifact(base / ".." / "data_artifacts" / "20220114_crossmoda_multiple_registrations" / "crossmoda_deeds_registered.pth")
+            bare = _load_torch_artifact(base / ".." / "data_artifacts" / "20220114_crossmoda_multiple_registrations" / "crossmoda_deeds_registered.pth", expect="registrations")
             label_data, loaded_identifier = _accumulate_registrations(bare, 3)
 
         elif rs == "acummulate_every_deeds_FT2_MT1":
             atlas_count = 30
             domain = "target"
-            bare = _load_torch_artifact(base / ".." / "data_artifacts" / "20220114_crossmoda_multiple_registrations" / "crossmoda_deeds_registered.pth")
+            bare = _load_torch_artifact(base / ".." / "data_artifacts" / "20220114_crossmoda_multiple_registrations" / "crossmoda_deeds_registered.pth", expect="registrations")
             label_data, loaded_identifier = _accumulate_registrations(bare, 1)
 
         else:

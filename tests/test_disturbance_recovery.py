@@ -73,3 +73,67 @@ def test_disturbed_samples_sink_to_low_dp(tmp_path, mode, augment_order, bn_mode
     clean = [i for i in res["train_idxs"] if i not in disturbed]
     assert np.mean(dp[disturbed]) < np.mean(dp[clean])
     assert ratio >= 1 / 3
+
+
+def test_disturbed_samples_sink_to_low_dp_three_class_int8(tmp_path, capsys):
+    """VERDICT r4 #7: the int8 auto-downgrade path's oracle. On a NON-binary
+    dataset the production augment order must downgrade fast-sep -> fast-int8
+    (train/step.py::resolve_augment_order — the 2-bit packed label codes of
+    the sep/int6 warps only represent binary labels) and the paper's core
+    effect (disturbed samples sinking to low DP) must survive on it.
+
+    3-class fixture: the synthetic binary tumour labels plus a fixed class-2
+    cube painted identically into clean and modified labels AFTER the
+    crossmoda closure (which by reference parity drops class 2 and non-binary
+    volumes, `CrossmodaHybridIdLoader.py:199-200,283-293`) — it adds a class
+    without adding DP signal.
+    """
+    generate_synthetic_crossmoda(tmp_path, num_cases=10, atlas_count=1, size=(16, 16, 16), seed=3)
+    base_closure = get_crossmoda_data_load_closure(
+        base_dir=str(tmp_path), domain="target", state="l4", use_additional_data=False,
+        size=(16, 16, 16), resample=True, normalize=True, crop_3d_w_dim_range=None,
+        ensure_labeled_pairs=True, modified_3d_label_override=None, debug=False,
+    )
+
+    def three_class_closure():
+        (img_paths, label_paths, img3d, lbl3d, mod3d, eid, esid) = base_closure()
+        for store in (lbl3d, mod3d):
+            for k, lbl in list(store.items()):
+                lbl = np.array(lbl)
+                lbl[2:5, 2:5, 2:5] = 2
+                store[k] = lbl
+        return img_paths, label_paths, img3d, lbl3d, mod3d, eid, esid
+
+    class ThreeClassDataset(CrossmodaHybridIdDataset):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.label_tags = ["background", "tumour", "cochlea"]
+
+    dataset = ThreeClassDataset(
+        three_class_closure, size=(16, 16, 16), resample=True, normalize=True,
+        crop_3d_w_dim_range=None, ensure_labeled_pairs=True,
+        prevent_disturbance=False, pre_interpolation_factor=1.5,
+    )
+    assert len(dataset.label_tags) == 3
+    config = TrainConfig(
+        epochs=10, batch_size=4, num_val_images=2, atlas_count=1,
+        use_checkpointing=False, ool_mode="fused", save_every=1000,
+        save_labels=False, log_jsonl=False, lr_inst_param=0.2,
+        disturbance_mode=LabelDisturbanceMode.AFFINE,
+        disturbance_strength=3.0, disturbed_percentage=0.4,
+        augment_order="fast-sep", bn_mode="async",
+        output_dir=str(tmp_path / "out"), mdl_save_prefix=str(tmp_path / "models"),
+    )
+    results = train_dl("disturb-3c", config, dataset, atlas_count=1)
+    out = capsys.readouterr().out
+    assert "using 'fast-int8'" in out  # the downgrade actually happened
+    res = results[0]
+    dp = np.asarray(res["state"].dp_params)
+    disturbed = dataset.disturbed_idxs
+    assert len(disturbed) >= 2
+    ratio = dp_in_target_pos_ratio(dp[res["train_idxs"]],
+                                   [list(res["train_idxs"]).index(i) for i in disturbed],
+                                   "min")
+    clean = [i for i in res["train_idxs"] if i not in disturbed]
+    assert np.mean(dp[disturbed]) < np.mean(dp[clean])
+    assert ratio >= 1 / 3
