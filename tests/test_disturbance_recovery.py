@@ -10,6 +10,9 @@ from deep_staple_tpu.data.synthetic import generate_synthetic_crossmoda
 from deep_staple_tpu.data.crossmoda import CrossmodaHybridIdDataset, get_crossmoda_data_load_closure
 from deep_staple_tpu.train.driver import train_dl, dp_in_target_pos_ratio
 
+# Full multi-epoch training loops: minutes each on this 1-core box.
+pytestmark = pytest.mark.slow
+
 
 def test_ratio_metric():
     dp = np.array([0.5, -2.0, 0.3, -1.5, 0.9])

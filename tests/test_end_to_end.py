@@ -13,6 +13,9 @@ from deep_staple_tpu.data.synthetic import generate_synthetic_crossmoda
 from deep_staple_tpu.train.prepare import prepare_data
 from deep_staple_tpu.train.driver import train_dl
 
+# Full multi-epoch training loops: minutes each on this 1-core box.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def synthetic_run(tmp_path_factory):

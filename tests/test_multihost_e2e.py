@@ -24,6 +24,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# Spawns real 2-process Gloo workers; ~2.5 min.
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 

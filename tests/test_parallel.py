@@ -282,6 +282,7 @@ def test_train_dl_tensor_parallel_matches_single_device(mesh_driver_runs):
     assert np.all(dptp[t] != 0)
 
 
+@pytest.mark.slow  # f64 GPipe-vs-sequential gate: ~3.5 min
 def test_pipeline_gpipe_matches_sequential_accumulation():
     """Pipeline parallelism (parallel/pipeline.py): the 2-stage GPipe runner
     — stage 0 (him+lom) on device 0, stage 1 (aspp+head+upsample) on device 1,
