@@ -223,13 +223,15 @@ def measure_serving(batch: int = 2, spatial=(256, 256, 100), iters: int = 5):
         out = model.apply(variables, x, train=False)["out"]
         return jnp.argmax(out, axis=-1).astype(jnp.int32)
 
+    # Sync via a SCALAR host transfer: np.asarray on the full label map would
+    # pull ~50MB over the tunnel per call and time the wire, not the chip.
     pred = infer(variables, x)
-    _ = int(np.asarray(pred).ravel()[0])  # host transfer = real sync
+    _ = int(pred[0, 0, 0, 0])
     times = []
     for _i in range(iters):
         t0 = time.time()
         pred = infer(variables, x)
-        _ = int(np.asarray(pred).ravel()[0])
+        _ = int(pred[0, 0, 0, 0])
         times.append(time.time() - t0)
     vps = batch / float(np.median(times))
     _eprint(f"serving: {vps:.2f} volumes/s (eval fwd+argmax, b{batch} @ "

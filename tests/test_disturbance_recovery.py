@@ -88,8 +88,11 @@ def test_disturbed_samples_sink_to_low_dp_three_class_int8(tmp_path, capsys):
     3-class fixture: the synthetic binary tumour labels plus a fixed class-2
     cube painted identically into clean and modified labels AFTER the
     crossmoda closure (which by reference parity drops class 2 and non-binary
-    volumes, `CrossmodaHybridIdLoader.py:199-200,283-293`) — it adds a class
-    without adding DP signal.
+    volumes, `CrossmodaHybridIdLoader.py:199-200,283-293`), with a matching
+    intensity blob in the image — class 2 must be LEARNABLE or its
+    heavily-weighted CE (1/bincount^0.35 class weights) is irreducible noise
+    that swamps the per-sample DP signal (measured: label-only cube gives
+    disturbed/clean DP means 0.28/0.31; with the image blob -0.17/0.37).
     """
     generate_synthetic_crossmoda(tmp_path, num_cases=10, atlas_count=1, size=(16, 16, 16), seed=3)
     base_closure = get_crossmoda_data_load_closure(
@@ -103,8 +106,12 @@ def test_disturbed_samples_sink_to_low_dp_three_class_int8(tmp_path, capsys):
         for store in (lbl3d, mod3d):
             for k, lbl in list(store.items()):
                 lbl = np.array(lbl)
-                lbl[2:5, 2:5, 2:5] = 2
+                lbl[2:7, 2:7, 2:7] = 2
                 store[k] = lbl
+        for k, img in list(img3d.items()):
+            img = np.array(img)
+            img[2:7, 2:7, 2:7] += 1.5
+            img3d[k] = img
         return img_paths, label_paths, img3d, lbl3d, mod3d, eid, esid
 
     class ThreeClassDataset(CrossmodaHybridIdDataset):
