@@ -24,9 +24,12 @@ MEASURED probe value — fwd 15.6 ms + dgrad 10.6 ms + wgrad 12.4 ms at
 fastest of every probed formulation incl. a hand Pallas stencil) — scaled by
 padded element count (VPU work is per-element).
 
-The remaining step stages (warp, transposes/copies, head+resize, optimizer)
-are taken at their r4 profiler-measured values and listed as measured-not-
-floored; together they are ~8% of the step.
+The remaining step stages (warp, transposes/copies, resize/optimizer/loss)
+are taken at their profiler-measured values and listed as measured-not-
+floored; together they are ~9% of the step. A floor/device ratio ABOVE 100%
+means the measured step beats the aggregate floor model — the depthwise
+probe anchor was measured with exact-BN epilogues, so it slightly
+overestimates the dw stages under async BN.
 
 Usage:  python benchmarks/floor_table.py [--measured-lom MS ...]
 Import: step_floor() -> dict used by bench.py to emit floor/MFU fields.
@@ -110,7 +113,17 @@ def stage_floors():
     for k in (1, 3, 3, 3, 3):  # 1x1 + four dilated 3^3 branches, 64 -> 128
         aspp += conv_floor_ms(spatial, cin, spatial, 128, k=k)
     aspp += conv_floor_ms(spatial, 5 * 128, spatial, 128)  # concat project
-    return {"him": him, "lom": lom, "aspp": aspp}
+
+    # LR-ASPP head (models/lraspp3d.py::LRASPPHead3D): cbr 16->128 at the him
+    # grid, scale branch (global pool + 1x1, negligible), gating mul (one
+    # read+write pass over the 128ch him grid), resize of the gated features
+    # to the lom grid, and the two classifiers.
+    him_grid, lom_grid = (96, 96, 38), spatial
+    head = conv_floor_ms(him_grid, 16, him_grid, 128)  # cbr
+    head += 3 * 2 * _padded_elems(him_grid, 128) * BF16 / 1e9 / HBM_GBPS * 1e3  # gate mul + resize passes
+    head += conv_floor_ms(lom_grid, 128, lom_grid, 2)  # low_classifier
+    head += conv_floor_ms(lom_grid, 128, lom_grid, 2)  # high_classifier (resized feats)
+    return {"him": him, "lom": lom, "aspp": aspp, "head": head}
 
 
 def model_flops():
@@ -135,23 +148,25 @@ def model_flops():
     return total
 
 
-# r4 profiler attribution of the production step (fast-sep + async BN,
+# r5 profiler attribution of the production step (fast-sep + async BN,
 # benchmarks/profile_model.py --step --fast --order fast-sep --bn async;
-# 404 ms device total). These stages are measured, not floored.
-MEASURED_R4 = {
-    "him": 76.0,
-    "lom": 247.0,
-    "aspp": 49.0,
+# 404.1 ms device total, PATH-anchored buckets — the r4 "aspp 49" bucket was
+# really aspp+head, see _MODULE_PATTERNS note in profile_model.py).
+MEASURED = {
+    "him": 75.9,
+    "lom": 246.8,
+    "aspp": 21.6,
+    "head": 22.0,
     "warp (sep passes + coarse inversion)": 8.9,
-    "transpose/copy": 15.0,
-    "head/resize/optimizer/other": 9.0,
+    "transpose/copy": 15.9,
+    "resize/optimizer/loss/other": 13.1,
 }
 
 
 def step_floor():
     floors = stage_floors()
-    unfloored = {k: v for k, v in MEASURED_R4.items()
-                 if k not in ("him", "lom", "aspp")}
+    unfloored = {k: v for k, v in MEASURED.items()
+                 if k not in floors}
     floor_total = sum(floors.values()) + sum(unfloored.values())
     return {
         "floors_ms": floors,
@@ -170,12 +185,12 @@ def main():
     floors = info["floors_ms"]
     print(f"Production-step per-op floor vs measured (b{BATCH} "
           f"{AUG[0]}x{AUG[1]}x{AUG[2]} bf16, async BN):")
-    print(f"{'bucket':42s} {'floor ms':>9s} {'measured r4 ms':>15s}")
-    for k in ("him", "lom", "aspp"):
-        print(f"{k:42s} {floors[k]:9.1f} {MEASURED_R4[k]:15.1f}")
+    print(f"{'bucket':42s} {'floor ms':>9s} {'measured ms':>12s}")
+    for k in ("him", "lom", "aspp", "head"):
+        print(f"{k:42s} {floors[k]:9.1f} {MEASURED[k]:12.1f}")
     for k, v in info["measured_pass_through_ms"].items():
-        print(f"{k:42s} {'(meas)':>9s} {v:15.1f}")
-    tot_meas = sum(MEASURED_R4.values())
+        print(f"{k:42s} {'(meas)':>9s} {v:12.1f}")
+    tot_meas = sum(MEASURED.values())
     print(f"{'TOTAL':42s} {info['floor_total_ms']:9.1f} {tot_meas:15.1f}")
     print(f"step at {info['floor_total_ms']/args.device_ms*100:.0f}% of its "
           f"aggregate per-op floor ({args.device_ms:.0f} ms measured device)")

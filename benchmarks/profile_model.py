@@ -95,12 +95,16 @@ def run_train_step(fast: bool = False, iters: int = 3, order: str = None, ool: s
 _MODULE_PATTERNS = [
     ("warp-sep-pass (pallas)", re.compile(r"pallas|sep_warp")),
     ("warp-gathers", re.compile(r"take_along_axis|gather")),
-    # him/lom/aspp must come BEFORE transpose/copy: backward ops are named
-    # "transpose(jvp(...))/lom/..." and should land in their module bucket.
+    # him/lom/aspp/head must come BEFORE transpose/copy: backward ops are
+    # named "transpose(jvp(...))/lom/..." and should land in their module
+    # bucket. Patterns must be PATH-anchored ("/aspp/"): every op label
+    # contains the class name "MobileNetLRASPP3D", so a bare "ASPP" pattern
+    # swallowed head/resize/glue ops into the aspp bucket (r5 discovery —
+    # the "aspp 49ms" r4 attribution was really aspp 21.6 + head 22.0).
     ("model him (blocks 0-1)", re.compile(r"/him/")),
     ("model lom (blocks 2-9)", re.compile(r"/lom/")),
-    ("model aspp", re.compile(r"ASPP|aspp")),
-    ("model head", re.compile(r"LRASPPHead|/head/")),
+    ("model aspp", re.compile(r"/aspp/")),
+    ("model head", re.compile(r"/head/")),
     ("transpose/copy", re.compile(r"transpose|copy")),
     ("resize/interp", re.compile(r"resize|interpolate")),
     ("optimizer/while", re.compile(r"while")),
