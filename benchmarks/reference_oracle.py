@@ -239,6 +239,17 @@ def bottom_k_ratio(dp_map, bad_ids):
     return sum(1 for i in bottom if i in bad_ids) / k
 
 
+def final_val_dice(path, key="val_dice_mean_wo_bg"):
+    """Last validation dice (w/o background) in a metrics JSONL stream."""
+    last = None
+    for line in open(path):
+        rec = json.loads(line)
+        for k, v in rec.items():
+            if key in k and isinstance(v, (int, float)):
+                last = float(v)
+    return last
+
+
 def epoch_losses_ref(workdir: Path):
     losses = []
     with open(workdir / "ref_wandb.jsonl") as f:
@@ -292,6 +303,10 @@ def compare(workdir: Path, art, epochs) -> dict:
     ref_losses = epoch_losses_ref(workdir)
     ours_losses = epoch_losses_ours(workdir)
 
+    ref_val_dice = final_val_dice(workdir / "ref_wandb.jsonl")
+    ours_jsonls = sorted((workdir / "ours_out").glob("*_metrics.jsonl"))
+    ours_val_dice = final_val_dice(ours_jsonls[-1]) if ours_jsonls else None
+
     # Consensus cross-tool check: rebuild consensus stage on the
     # reference-produced snapshot (consensus.ipynb cell 5/6 capability).
     from deep_staple_tpu.consensus import evaluate_consensus
@@ -320,6 +335,8 @@ def compare(workdir: Path, art, epochs) -> dict:
         "ours_epoch_losses": ours_losses,
         "ref_loss_decreased": bool(ref_losses and ref_losses[-1] < ref_losses[0]),
         "ours_loss_decreased": bool(ours_losses and ours_losses[-1] < ours_losses[0]),
+        "ref_final_val_dice": ref_val_dice,
+        "ours_final_val_dice": ours_val_dice,
         "ref_snapshot_keys_ok": set(ref_snap.keys()) >= REFERENCE_SNAPSHOT_KEYS,
         "ref_snapshot_keys": sorted(ref_snap.keys()),
         "ours_snapshot_keys": sorted(ours_snap.keys()),
@@ -340,6 +357,14 @@ def compare(workdir: Path, art, epochs) -> dict:
                                     and result["ours_bad_bottomk_ratio"] >= 0.8),
         "both_losses_decrease": result["ref_loss_decreased"] and result["ours_loss_decreased"],
         "snapshot_schema": bool(result["ref_snapshot_keys_ok"]),
+        # Matched-dice gate: both sides must LEARN (>0.3) and agree within
+        # 0.1 — the reference's own val-dice wobbles ~0.08 across late epochs
+        # on this fixture, so 0.1 is the fair cross-run band.
+        "val_dice_match": bool(
+            ref_val_dice is not None and ours_val_dice is not None
+            and ref_val_dice > 0.3 and ours_val_dice > 0.3
+            and abs(ref_val_dice - ours_val_dice) <= 0.1
+        ),
     }
     result["gates"] = gates
     result["ok"] = all(gates.values())
