@@ -166,6 +166,19 @@ class TrainConfig:
     mesh_data_axis: int = 1  # data-parallel shards
     mesh_space_axis: int = 1  # spatial (volume H) shards for whole-volume work
     mesh_model_axis: int = 1  # tensor-parallel shards (conv channel sharding)
+    # Pipeline parallelism (GPipe, parallel/pipeline.py): 2 places stage 0
+    # (him+lom) on device 0 and stage 1 (aspp+head+upsample+losses) on device
+    # 1 along the reference's own checkpoint-segment cut
+    # (MobileNet_LR_ASPP_3D.py:206-232). pipe_microbatches splits each batch
+    # into GPipe microbatches so the two stages overlap; with 1 microbatch
+    # the step equals the single-device step exactly (gate-tested in f64);
+    # with >1, CE/DP losses and gradients still accumulate exactly (global-
+    # denominator CE, full-batch DP pass on stage 1) but BatchNorm batch
+    # statistics become per-microbatch (parallel-accumulation means — the
+    # standard GPipe semantics). Exclusive with the mesh_* axes and
+    # multi-host; 3D path only.
+    mesh_pipe_stages: int = 1
+    pipe_microbatches: int = 1
     # Note: under GSPMD jit, BatchNorm batch statistics are computed over the
     # GLOBAL batch automatically (a mean over the sharded batch axis), i.e.
     # sync-BN is inherent — stronger than the reference's per-device BN.
@@ -193,6 +206,40 @@ class TrainConfig:
             raise ValueError(
                 f"bn_mode {self.bn_mode!r} (expected 'batch', 'async' or 'slab')"
             )
+        if self.mesh_pipe_stages not in (1, 2):
+            raise ValueError(
+                f"mesh_pipe_stages {self.mesh_pipe_stages!r} (the model has "
+                "exactly one natural stage cut — him+lom | aspp+head — so "
+                "only 1 or 2 stages exist)"
+            )
+        if self.pipe_microbatches < 1:
+            raise ValueError(f"pipe_microbatches {self.pipe_microbatches!r} < 1")
+        if self.mesh_pipe_stages > 1:
+            if (self.mesh_data_axis > 1 or self.mesh_space_axis > 1
+                    or self.mesh_model_axis > 1):
+                raise ValueError(
+                    "mesh_pipe_stages > 1 is exclusive with the mesh_* axes "
+                    "(pipeline stages are placed on explicit devices, not a "
+                    "GSPMD mesh)"
+                )
+            if self.use_2d_normal_to is not None:
+                raise ValueError(
+                    "mesh_pipe_stages > 1 supports the 3D model only (the 2D "
+                    "torchvision-style model has no him/lom|aspp/head cut)"
+                )
+            if self.batch_size % self.pipe_microbatches:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by "
+                    f"pipe_microbatches {self.pipe_microbatches}"
+                )
+            if (self.data_param_mode == DataParamMode.INSTANCE_PARAMS
+                    and not self.use_ool_dp_loss):
+                raise ValueError(
+                    "mesh_pipe_stages > 1 requires the out-of-line DP "
+                    "schedule (use_ool_dp_loss=True): the non-OOL DP loss "
+                    "backprops its batch-coupled weight normalization into "
+                    "the model, which does not decompose over microbatches"
+                )
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -112,6 +112,46 @@ class PipelineStage1(nn.Module):
         return {"out": y}
 
 
+_MODULE_KEYS = frozenset(STAGE0_KEYS + STAGE1_KEYS)
+
+
+def _slice_opt_state(obj, keys):
+    """Restrict every param-tree-structured dict inside an optax state to one
+    stage's module keys ({'him','lom'} or {'aspp','head'}).
+
+    Non-module leaves — step counts, injected hyperparameters — are shared
+    verbatim by both stage copies: they start identical and element-wise
+    optimizers (the AdamW family) advance them identically, so merging back
+    can take either copy. Handles the nesting optax actually produces
+    (NamedTuple states, plain dicts, tuples/lists of chained transforms)."""
+    if isinstance(obj, dict):
+        if obj and set(obj) <= _MODULE_KEYS:
+            return {k: obj[k] for k in keys if k in obj}
+        return {k: _slice_opt_state(v, keys) for k, v in obj.items()}
+    if isinstance(obj, tuple):
+        if hasattr(obj, "_fields"):  # NamedTuple (optax states)
+            return type(obj)(*(_slice_opt_state(v, keys) for v in obj))
+        return tuple(_slice_opt_state(v, keys) for v in obj)
+    if isinstance(obj, list):
+        return [_slice_opt_state(v, keys) for v in obj]
+    return obj
+
+
+def _merge_opt_state(a, b):
+    """Inverse of _slice_opt_state: re-join two per-stage optax states into
+    the unsplit state (module dicts union; shared scalars taken from stage 0
+    — both copies advanced identically, see _slice_opt_state)."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        if (a or b) and set(a) | set(b) <= _MODULE_KEYS and set(a).isdisjoint(b):
+            return {**a, **b}
+        return {k: _merge_opt_state(a[k], b[k]) for k in a}
+    if isinstance(a, tuple) and hasattr(a, "_fields"):
+        return type(a)(*(_merge_opt_state(x, y) for x, y in zip(a, b)))
+    if isinstance(a, (tuple, list)):
+        return type(a)(_merge_opt_state(x, y) for x, y in zip(a, b))
+    return a
+
+
 def split_variables(variables):
     """Slice full-model variables into (stage0_vars, stage1_vars) by key."""
 
@@ -305,3 +345,332 @@ class GPipe2:
         new_v0 = {**v0, "params": p0, "batch_stats": bs0}
         new_v1 = {**v1, "params": p1, "batch_stats": bs1}
         return loss, new_v0, new_v1, opt0, opt1
+
+
+def make_pp_train_step(model, tx, config, class_weights, fixed_weighting,
+                       augment_params=None,
+                       pre_interpolation_factor: float = 1.5,
+                       augment: bool = True, n_micro: int = 1, devices=None):
+    """Pipelined 2-stage drop-in for `train/step.py::make_train_step`.
+
+    Same call contract — ``step(state, batch, lr, rng) -> (new_state,
+    metrics)`` on the plain DeepStapleState — but the model forward/backward
+    runs as GPipe across two devices along the reference's own
+    checkpoint-segment cut (`MobileNet_LR_ASPP_3D.py:206-232`): stage 0
+    (augmentation + him + lom) on ``devices[0]``, stage 1 (aspp + head +
+    final upsample + every loss) on ``devices[1]``, with activation
+    recomputation at the boundary (only stage inputs are stored). This is
+    `config.mesh_pipe_stages=2` in the production driver.
+
+    Exactness vs the fused single-device step (gate: f64 equivalence in
+    tests/test_parallel.py):
+
+      * ``n_micro=1``: EXACT — same augmentation rng, same dropout rng fold
+        (stage modules reuse the production submodule names, so flax's
+        path-folded dropout streams coincide), same BN batch statistics,
+        same AdamW update (element-wise, so the stage split cannot change
+        it), same strict/fused OOL DP schedule.
+      * ``n_micro>1``: CE loss/gradients still accumulate EXACTLY — the
+        class-weighted CE denominator ``sum(w[label])`` depends only on the
+        labels, so each microbatch contributes ``grad(num_mb)/D_global`` and
+        the sum over microbatches is the full-batch gradient. The DP pass is
+        exact too: its batch-mean weight normalization does NOT decompose
+        over microbatches (`losses.py::dp_weights_from_params`), so it runs
+        over the FULL batch on stage 1, where all the logits already live.
+        Only BatchNorm batch statistics become per-microbatch
+        (parallel-accumulation means — the standard GPipe semantics; see
+        the module docstring) and per-microbatch dropout masks are drawn.
+
+    The non-OOL DP mode is rejected: there the batch-coupled DP loss
+    backprops into the model, which does not decompose over microbatches
+    (config.__post_init__ enforces this too).
+    """
+    from functools import partial, reduce
+
+    from ..core.config import DataParamMode
+    from ..ops.augment import AugmentParams, augment_sample_pair
+    from ..ops.dice import dice_from_int_labels
+    from ..train import losses as _losses
+    from ..train.optim import sparse_adam_update
+    from ..train.step import _featurize
+
+    if augment_params is None:
+        augment_params = AugmentParams()
+    use_dp = config.data_param_mode == DataParamMode.INSTANCE_PARAMS
+    if config.use_2d_normal_to is not None:
+        raise ValueError("pipeline parallelism supports the 3D model only")
+    if use_dp and not config.use_ool_dp_loss:
+        raise ValueError(
+            "pipeline parallelism requires use_ool_dp_loss=True (the non-OOL "
+            "DP loss backprops its batch-coupled weight normalization into "
+            "the model, which does not decompose over microbatches)"
+        )
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < 2:
+        raise ValueError("mesh_pipe_stages=2 needs at least 2 devices")
+    d0, d1 = devices[0], devices[1]
+
+    class_weights = jnp.asarray(class_weights, jnp.float32)
+    fixed_weighting = jnp.asarray(fixed_weighting, jnp.float32)
+    nc = int(class_weights.shape[0])
+    bn_mode = getattr(model, "bn_mode", "batch")
+    use_mind = config.use_mind
+
+    stage0 = PipelineStage0(
+        dtype=model.dtype, axis_name=model.axis_name,
+        depthwise_impl=model.depthwise_impl,
+        use_checkpointing=model.use_checkpointing, bn_mode=bn_mode,
+    )
+    _stage1_cache = {}
+
+    def _stage1(out_spatial):
+        if out_spatial not in _stage1_cache:
+            _stage1_cache[out_spatial] = PipelineStage1(
+                num_classes=model.num_classes, out_spatial=out_spatial,
+                head_type=model.head_type, dropout_rate=model.dropout_rate,
+                dtype=model.dtype, axis_name=model.axis_name,
+                use_checkpointing=model.use_checkpointing, bn_mode=bn_mode,
+            )
+        return _stage1_cache[out_spatial]
+
+    def _wsel(targets):
+        # select-sum weight lookup (losses.py::weighted_cross_entropy).
+        w = 0.0
+        for c in range(nc):
+            w = w + class_weights[c] * (targets == c)
+        return w
+
+    @jax.jit
+    def _prepare(img, lbl, mod, rng):
+        if augment:
+            img, lbl, mod, _ = augment_sample_pair(
+                rng, img, lbl, mod, params=augment_params,
+                pre_interpolation_factor=pre_interpolation_factor,
+                use_2d=False, order=config.augment_order, mesh=None,
+            )
+        return img, lbl, mod
+
+    @jax.jit
+    def _ce_denom(mod):
+        return jnp.sum(_wsel(mod))
+
+    @jax.jit
+    def fwd0(v0, img):
+        x = _featurize(img, use_mind, False)
+        (high, low), mut = stage0.apply(v0, x, True, mutable=["batch_stats"])
+        return (high, low), mut["batch_stats"]
+
+    @partial(jax.jit, static_argnums=(0,))
+    def fwdbwd1(stage1, v1, high, low, mod_mb, denom, rng_drop):
+        rest1 = {k: v for k, v in v1.items() if k != "params"}
+
+        def f(p1, h, l):
+            out, mut = stage1.apply(
+                {"params": p1, **rest1}, h, l, True,
+                rngs={"dropout": rng_drop}, mutable=["batch_stats"],
+            )
+            logits = out["out"]
+            nll = _losses._nll(logits, mod_mb)
+            # microbatch CE contribution with the GLOBAL denominator:
+            # summing these over microbatches is the full-batch weighted CE
+            # (and the same holds for its gradients).
+            loss_mb = jnp.sum(nll * _wsel(mod_mb)) / denom
+            return loss_mb, (logits, mut["batch_stats"])
+
+        (loss_mb, (logits, bs1)), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2), has_aux=True
+        )(v1["params"], high, low)
+        g1, g_high, g_low = grads
+        return loss_mb, logits, bs1, g1, (g_high, g_low)
+
+    @jax.jit
+    def bwd0(v0, img, cotangents):
+        # GPipe activation recomputation: re-run stage 0's forward under vjp.
+        rest0 = {k: v for k, v in v0.items() if k != "params"}
+
+        def f(p0):
+            x = _featurize(img, use_mind, False)
+            (high, low), mut = stage0.apply(
+                {"params": p0, **rest0}, x, True, mutable=["batch_stats"]
+            )
+            return (high, low), mut
+
+        _, vjp, _ = jax.vjp(f, v0["params"], has_aux=True)
+        (g0,) = vjp(cotangents)
+        return g0
+
+    @partial(jax.jit, static_argnums=(0,))
+    def fwd1_logits(stage1, v1, high, low, rng_drop):
+        out, mut = stage1.apply(
+            v1, high, low, True, rngs={"dropout": rng_drop},
+            mutable=["batch_stats"],
+        )
+        return out["out"], mut["batch_stats"]
+
+    @jax.jit
+    def _upd(g, opt_s, p, lr):
+        hyper = dict(opt_s.hyperparams)
+        hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        opt_s = opt_s._replace(hyperparams=hyper)
+        u, new_s = tx.update(g, opt_s, p)
+        return jax.tree.map(lambda a, b: a + b, p, u), new_s
+
+    @jax.jit
+    def _sum_trees(ts):
+        return jax.tree.map(lambda *a: reduce(jnp.add, a), *ts)
+
+    @jax.jit
+    def _mean_trees(ts):
+        return jax.tree.map(lambda *a: reduce(jnp.add, a) / len(a), *ts)
+
+    @jax.jit
+    def _dp_tail(dp_logits_mbs, mod, dp_params, dp_opt, idxs):
+        dp_logits = jax.lax.stop_gradient(jnp.concatenate(list(dp_logits_mbs), 0))
+
+        def dp_objective(dp_vec):
+            bare = dp_vec[idxs]
+            fixed = fixed_weighting[idxs] if config.use_fixed_weighting else None
+            return _losses.dp_loss_fn(
+                dp_logits, mod, bare, fixed,
+                use_risk_regularization=config.use_risk_regularization,
+            )
+
+        dp_loss, dp_grads = jax.value_and_grad(dp_objective)(dp_params)
+        if config.override_embedding_weights:
+            return dp_loss, dp_params, dp_opt
+        touched = jnp.zeros_like(dp_params, jnp.bool_).at[idxs].set(True)
+        new_dp, new_opt = sparse_adam_update(
+            dp_params, dp_grads, dp_opt, touched, config.lr_inst_param
+        )
+        return dp_loss, new_dp, new_opt
+
+    @jax.jit
+    def _dice_tail(logits_mbs, lbl):
+        pred = jnp.argmax(jnp.concatenate(list(logits_mbs), 0), axis=-1)
+        return dice_from_int_labels(pred, lbl, nc)
+
+    @jax.jit
+    def _sum_scalars(xs):
+        return reduce(jnp.add, xs)
+
+    def pp_train_step(state, batch, lr, rng):
+        v0, v1 = split_variables(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        # device_put is a no-op for leaves already resident: after step 1 the
+        # stage trees live on their devices and stay there across steps.
+        v0 = jax.device_put(v0, d0)
+        v1 = jax.device_put(v1, d1)
+        opt0 = jax.device_put(_slice_opt_state(state.opt_state, STAGE0_KEYS), d0)
+        opt1 = jax.device_put(_slice_opt_state(state.opt_state, STAGE1_KEYS), d1)
+
+        rng_aug, rng_drop, rng_drop2 = jax.random.split(rng, 3)
+        img = jax.device_put(jnp.asarray(batch["image"]), d0)
+        lbl = jax.device_put(jnp.asarray(batch["label"]), d0)
+        mod = jax.device_put(jnp.asarray(batch["modified_label"]), d0)
+        img, lbl, mod = _prepare(img, lbl, mod, rng_aug)
+
+        B = img.shape[0]
+        if B % n_micro:
+            raise ValueError(f"batch {B} not divisible by {n_micro} microbatches")
+        m = B // n_micro
+        stage1 = _stage1(tuple(img.shape[1:4]))
+        denom = jax.device_put(_ce_denom(mod), d1)
+        mod1 = jax.device_put(mod, d1)
+        lbl1 = jax.device_put(lbl, d1)
+        # n_micro=1 keeps the fused step's EXACT rng streams.
+        drops = jax.random.split(rng_drop, n_micro) if n_micro > 1 else [rng_drop]
+        drops2 = jax.random.split(rng_drop2, n_micro) if n_micro > 1 else [rng_drop2]
+
+        # ---- GPipe fwd+bwd: fill device 0's queue, then drain through
+        # device 1 — per-device async dispatch IS the pipeline schedule. ----
+        f0 = [fwd0(v0, img[i * m:(i + 1) * m]) for i in range(n_micro)]
+        losses_mb, logits_mb = [], []
+        g0s, g1s, bs0s, bs1s = [], [], [], []
+        for i in range(n_micro):
+            (high, low), bs0_i = f0[i]
+            f0[i] = None  # O(1)-microbatch boundary residency (GPipe2 note)
+            loss_mb, logits, bs1_i, g1, cot = fwdbwd1(
+                stage1, v1,
+                jax.device_put(high, d1), jax.device_put(low, d1),
+                mod1[i * m:(i + 1) * m], denom, drops[i],
+            )
+            g0 = bwd0(v0, img[i * m:(i + 1) * m], jax.device_put(cot, d0))
+            losses_mb.append(loss_mb)
+            logits_mb.append(logits)
+            g0s.append(g0)
+            g1s.append(g1)
+            bs0s.append(bs0_i)
+            bs1s.append(bs1_i)
+
+        if n_micro == 1:
+            g0, g1, bs0, bs1 = g0s[0], g1s[0], bs0s[0], bs1s[0]
+            ce_loss = losses_mb[0]
+        else:
+            g0 = _sum_trees(tuple(g0s))       # grads: exact sum (global denom)
+            g1 = _sum_trees(tuple(g1s))
+            bs0 = _mean_trees(tuple(bs0s))    # BN stats: GPipe parallel means
+            bs1 = _mean_trees(tuple(bs1s))
+            ce_loss = _sum_scalars(tuple(losses_mb))
+
+        new_p0, new_opt0 = _upd(g0, opt0, v0["params"], lr)
+        new_p1, new_opt1 = _upd(g1, opt1, v1["params"], lr)
+
+        metrics = {}
+        new_dp_params, new_dp_opt = state.dp_params, state.dp_opt_state
+        if use_dp:
+            if config.ool_mode == "strict":
+                # Second pipelined forward with the UPDATED params
+                # (train/step.py strict-OOL semantics, incl. the async-BN
+                # step-start-stats rule).
+                if bn_mode == "async":
+                    bs_in0, bs_in1 = v0["batch_stats"], v1["batch_stats"]
+                else:
+                    bs_in0, bs_in1 = bs0, bs1
+                nv0 = {**v0, "params": new_p0, "batch_stats": bs_in0}
+                nv1 = {**v1, "params": new_p1, "batch_stats": bs_in1}
+                f0b = [fwd0(nv0, img[i * m:(i + 1) * m]) for i in range(n_micro)]
+                dp_logits_mb, bs0b, bs1b = [], [], []
+                for i in range(n_micro):
+                    (high, low), b0 = f0b[i]
+                    f0b[i] = None
+                    logits2, b1 = fwd1_logits(
+                        stage1, nv1,
+                        jax.device_put(high, d1), jax.device_put(low, d1),
+                        drops2[i],
+                    )
+                    dp_logits_mb.append(logits2)
+                    bs0b.append(b0)
+                    bs1b.append(b1)
+                if bn_mode != "async":
+                    # running stats advance twice per batch, like the fused
+                    # strict step; async keeps FWD#1's stats (advance once).
+                    bs0 = bs0b[0] if n_micro == 1 else _mean_trees(tuple(bs0b))
+                    bs1 = bs1b[0] if n_micro == 1 else _mean_trees(tuple(bs1b))
+            else:
+                dp_logits_mb = logits_mb
+            dp_params1 = jax.device_put(state.dp_params, d1)
+            dp_opt1 = jax.device_put(state.dp_opt_state, d1)
+            idxs1 = jax.device_put(jnp.asarray(batch["dataset_idx"]), d1)
+            dp_loss, new_dp_params, new_dp_opt = _dp_tail(
+                tuple(dp_logits_mb), mod1, dp_params1, dp_opt1, idxs1
+            )
+            metrics["dp_loss"] = dp_loss
+
+        b_dice = _dice_tail(tuple(logits_mb), lbl1)
+        metrics.update(ce_loss=ce_loss, dice=b_dice)
+        metrics["loss"] = metrics.get("dp_loss", ce_loss)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=merge_variables({"params": new_p0}, {"params": new_p1})["params"],
+            batch_stats=merge_variables(
+                {"batch_stats": bs0}, {"batch_stats": bs1}
+            )["batch_stats"],
+            opt_state=_merge_opt_state(new_opt0, new_opt1),
+            dp_params=new_dp_params,
+            dp_opt_state=new_dp_opt,
+        )
+        return new_state, metrics
+
+    return pp_train_step

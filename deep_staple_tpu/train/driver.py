@@ -275,6 +275,29 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                 + (f" over {nproc} hosts" if nproc > 1 else "")
             )
 
+        # --- pipeline parallelism (config validates exclusivity with the
+        # mesh_* axes): stage 0 (him+lom) on device 0, stage 1 (aspp+head+
+        # losses) on device 1, GPipe microbatches (parallel/pipeline.py). ---
+        pp_devices = None
+        if config.mesh_pipe_stages > 1:
+            if nproc > 1:
+                raise ValueError(
+                    "mesh_pipe_stages > 1 is single-process only (stages are "
+                    "placed on explicit local devices)"
+                )
+            devs = jax.devices()
+            if len(devs) < config.mesh_pipe_stages:
+                raise ValueError(
+                    f"mesh_pipe_stages={config.mesh_pipe_stages} needs that "
+                    f"many devices (have {len(devs)})"
+                )
+            pp_devices = devs[: config.mesh_pipe_stages]
+            print(
+                f"Pipeline parallelism: {config.mesh_pipe_stages} stages x "
+                f"{config.pipe_microbatches} microbatches on "
+                f"{[str(d) for d in pp_devices]}"
+            )
+
         epx_start = config.checkpoint_epx or 0
         ckpt_name = config.checkpoint_name or run_name
         ckpt_path = Path(config.mdl_save_prefix) / f"{ckpt_name}_fold{fold_idx}_epx{epx_start}"
@@ -353,10 +376,19 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                 f"using {effective_order!r} ({num_classes} classes)"
             )
             config = config.replace(augment_order=effective_order)
-        train_step = make_train_step(
-            model, tx, config, class_weights, fixed_weighting,
-            pre_interpolation_factor=pre_interp, mesh=sep_mesh,
-        )
+        if pp_devices is not None:
+            from ..parallel.pipeline import make_pp_train_step
+
+            train_step = make_pp_train_step(
+                model, tx, config, class_weights, fixed_weighting,
+                pre_interpolation_factor=pre_interp,
+                n_micro=config.pipe_microbatches, devices=pp_devices,
+            )
+        else:
+            train_step = make_train_step(
+                model, tx, config, class_weights, fixed_weighting,
+                pre_interpolation_factor=pre_interp, mesh=sep_mesh,
+            )
         eval_step = make_eval_step(model, config, num_classes)
         # Async-BN warmup: the first bn_warmup_epochs run the 'slab' step
         # (identical variable tree incl. the 'count' scalars, self-consistent
@@ -371,10 +403,19 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
         ):
             warmup_epochs = config.bn_warmup_epochs
             warmup_model, _ = make_model(config.replace(bn_mode="slab"), num_classes)
-            warmup_step = make_train_step(
-                warmup_model, tx, config, class_weights, fixed_weighting,
-                pre_interpolation_factor=pre_interp, mesh=sep_mesh,
-            )
+            if pp_devices is not None:
+                from ..parallel.pipeline import make_pp_train_step
+
+                warmup_step = make_pp_train_step(
+                    warmup_model, tx, config, class_weights, fixed_weighting,
+                    pre_interpolation_factor=pre_interp,
+                    n_micro=config.pipe_microbatches, devices=pp_devices,
+                )
+            else:
+                warmup_step = make_train_step(
+                    warmup_model, tx, config, class_weights, fixed_weighting,
+                    pre_interpolation_factor=pre_interp, mesh=sep_mesh,
+                )
 
         rng = jax.random.PRNGKey(config.seed + 1000 * fold_idx)
         t_start = time.time()
@@ -428,6 +469,15 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
                     usable = (len(bidx) // config.mesh_data_axis) * config.mesh_data_axis
                     if usable == 0:
                         continue  # remainder smaller than the data axis
+                    bidx = bidx[:usable]
+                if pp_devices is not None and config.pipe_microbatches > 1:
+                    # GPipe microbatches split the batch evenly; trim the
+                    # epoch-remainder batch like the mesh path does.
+                    usable = (
+                        len(bidx) // config.pipe_microbatches
+                    ) * config.pipe_microbatches
+                    if usable == 0:
+                        continue
                     bidx = bidx[:usable]
                 if mesh is not None and nproc > 1:
                     # Each host loads + feeds only its own contiguous row block;
@@ -501,6 +551,14 @@ def train_dl(run_name: str, config: TrainConfig, dataset, atlas_count=None, writ
 
             if pending_metrics is not None:
                 _consume(pending_metrics)
+
+            if pp_devices is not None:
+                # After the batch loop the stage trees are committed to their
+                # pipeline devices; the single-device jitted eval/snapshot
+                # paths need consistently-placed arguments. One 1.2M-param
+                # transfer per epoch — the first step of the next epoch
+                # re-stages the trees.
+                state = jax.device_put(state, pp_devices[0])
 
             if profiling:
                 jax.profiler.stop_trace()

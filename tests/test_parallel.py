@@ -282,6 +282,60 @@ def test_train_dl_tensor_parallel_matches_single_device(mesh_driver_runs):
     assert np.all(dptp[t] != 0)
 
 
+@pytest.mark.slow  # a fourth full train_dl run on the fixture
+def test_train_dl_pipeline_parallel_matches_single_device(mesh_driver_runs, tmp_path):
+    """config.mesh_pipe_stages=2: the production driver on two pipeline
+    devices (stage 0 him+lom on device 0, stage 1 aspp+head+losses on device
+    1, `parallel/pipeline.py::make_pp_train_step`) must reproduce the
+    single-device loss and DP trajectory. pipe_microbatches=1 keeps the step
+    math EXACT vs the fused step (same rng streams, same BN stats — gated in
+    f64 by test_pp_train_step_matches_fused_step), so the driver-level
+    tolerance is the same fp-noise bound the data/tensor mesh gates use.
+    Also covers the post-epoch state re-placement: eval/checkpoint/snapshot
+    run single-device on state whose stage trees lived on two devices."""
+    from deep_staple_tpu.data.synthetic import generate_synthetic_crossmoda
+    from deep_staple_tpu.train.driver import train_dl
+    from deep_staple_tpu.train.prepare import prepare_data
+
+    res1 = mesh_driver_runs[0][0]
+
+    root = tmp_path / "ppsynth"
+    generate_synthetic_crossmoda(
+        root, num_cases=6, atlas_count=2, bad_atlases_per_case=1,
+        size=(16, 16, 16), seed=0,
+    )
+    config = TrainConfig(
+        dataset="synthetic", reg_state="synthetic",
+        dataset_directory=str(root), crop_3d_w_dim_range=None,
+        epochs=1, batch_size=8, num_val_images=2,
+        use_checkpointing=False, ool_mode="fused", save_every=1000,
+        save_labels=False, log_jsonl=False,
+        output_dir=str(root / "outpp"),
+        mdl_save_prefix=str(root / "modelspp"),
+        mesh_pipe_stages=2, pipe_microbatches=1,
+    )
+    dataset, atlas_count = prepare_data(config)
+    res_pp = train_dl("pp-test", config, dataset, atlas_count)[0]
+
+    h1 = [r for r in res1["writer"].history if "losses/loss_fold0" in r]
+    hpp = [r for r in res_pp["writer"].history if "losses/loss_fold0" in r]
+    assert len(h1) == len(hpp) == 1
+    np.testing.assert_allclose(
+        h1[0]["losses/loss_fold0"], hpp[0]["losses/loss_fold0"], rtol=5e-4
+    )
+
+    dp1 = np.asarray(res1["state"].dp_params)
+    dppp = np.asarray(res_pp["state"].dp_params)
+    t = res1["train_idxs"]
+    np.testing.assert_allclose(dp1, dppp, atol=1e-3)
+    assert np.all(np.sign(dp1[t]) == np.sign(dppp[t]))
+    assert np.all(dppp[t] != 0)
+    # val dice was computed from the merged re-placed state (post-epoch
+    # device_put) — it must exist and be finite.
+    v = [r for r in res_pp["writer"].history if "scores/val_dice_mean_wo_bg_fold0" in r]
+    assert v and np.isfinite(v[0]["scores/val_dice_mean_wo_bg_fold0"])
+
+
 @pytest.mark.slow  # f64 GPipe-vs-sequential gate: ~3.5 min
 def test_pipeline_gpipe_matches_sequential_accumulation():
     """Pipeline parallelism (parallel/pipeline.py): the 2-stage GPipe runner
@@ -409,6 +463,189 @@ def test_pipeline_gpipe_matches_sequential_accumulation():
             assert np.max(np.abs(a - b)) <= 1e-9 + 1e-6 * np.max(np.abs(b)), (
                 jax.tree_util.keystr(k)
             )
+
+
+@pytest.mark.slow  # f64 step-equivalence gates: several distinct compiles
+def test_pp_train_step_matches_fused_step():
+    """`make_pp_train_step` (config.mesh_pipe_stages=2): the driver-integrated
+    pipelined train step must reproduce `make_train_step` on the SAME
+    DeepStapleState — params, batch_stats, DP vector, metrics — not just
+    grads (the GPipe gate above covers those for the raw runner).
+
+    Three gates, all f64 (see the GPipe test's docstring for why):
+
+      1. fused OOL, n_micro=1: equal to the fused single-device step. The rng
+         streams coincide by construction (same split(rng, 3), and the stage
+         modules reuse the production submodule names so flax's path-folded
+         dropout streams match), so the only differences are jit-fusion
+         rounding. Params are gated at atol 2e-4: the head upsample's
+         BY-DESIGN f32 cast (lraspp3d.py) seeds cotangents at f32 precision,
+         and Adam at g≈0 amplifies |dg| by up to 1/eps — measured noise
+         reaches ~3e-5 on near-cancelling conv grads, while a real bug is a
+         sign flip, O(2*lr)=2e-2 (100x the gate).
+      2. strict OOL, n_micro=1: same, through the second-forward schedule —
+         with bn_mode='batch' (FWD#2 consumes and re-advances FWD#1's stats)
+         AND bn_mode='async' (FWD#2 must normalize through the STEP-START
+         stats and running stats advance once — the regime-switch rule,
+         train/step.py).
+      3. fused OOL, n_micro=2: equal to SEQUENTIAL microbatch accumulation of
+         the unsplit model — per-microbatch grads with the GLOBAL CE
+         denominator summed, BN stats averaged (parallel-accumulation GPipe
+         semantics), one AdamW step, DP pass over the concatenated logits.
+    """
+    from deep_staple_tpu.parallel.pipeline import make_pp_train_step
+    from deep_staple_tpu.train.losses import _nll, dp_loss_fn
+    from deep_staple_tpu.train.optim import sparse_adam_init, sparse_adam_update
+    from deep_staple_tpu.train.step import _with_lr, make_train_step
+
+    with jax.enable_x64():
+        model = MobileNetLRASPP3D(num_classes=2, use_checkpointing=False)
+        B, base, n = 4, (12, 12, 8), 16
+        state, tx = create_state(model, (1,) + base + (1,), n)
+
+        def cast64(t):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float64)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, t,
+            )
+
+        def to64(st):
+            p64 = cast64(st.params)
+            d64 = st.dp_params.astype(jnp.float64)
+            return st.replace(
+                params=p64, batch_stats=cast64(st.batch_stats),
+                opt_state=tx.init(p64), dp_params=d64,
+                dp_opt_state=sparse_adam_init(d64),
+            )
+
+        state = to64(state)
+        cw = np.array([0.5, 1.5], np.float32)
+        fw = np.full((n,), 5.0, np.float32)
+        rng_np = np.random.RandomState(0)
+        batch = {
+            "image": rng_np.randn(B, *base).astype(np.float64),
+            "label": (rng_np.rand(B, *base) > 0.8).astype(np.int32),
+            "modified_label": (rng_np.rand(B, *base) > 0.8).astype(np.int32),
+            "dataset_idx": np.arange(B, dtype=np.int32),
+        }
+        batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+        key = jax.random.PRNGKey(0)
+        lr = 0.01
+
+        def assert_state_match(sa, sb, what):
+            fa = dict(jax.tree_util.tree_flatten_with_path(
+                (sa.params, sa.batch_stats))[0])
+            fb = dict(jax.tree_util.tree_flatten_with_path(
+                (sb.params, sb.batch_stats))[0])
+            assert set(fa) == set(fb)
+            for k in fa:
+                d = np.max(np.abs(np.asarray(fa[k]) - np.asarray(fb[k])))
+                assert d <= 2e-4, f"{what}: {jax.tree_util.keystr(k)} diff {d}"
+            np.testing.assert_allclose(
+                np.asarray(sa.dp_params), np.asarray(sb.dp_params),
+                atol=1e-5, err_msg=what,
+            )
+
+        # --- gate 1+2: n_micro=1 vs the fused factory, both OOL modes,
+        # plus the strict+async-BN regime-switch rule ---
+        model_async = MobileNetLRASPP3D(
+            num_classes=2, use_checkpointing=False, bn_mode="async"
+        )
+        state_async = to64(create_state(model_async, (1,) + base + (1,), n)[0])
+        for ool, bn in (("fused", "batch"), ("strict", "batch"), ("strict", "async")):
+            mdl = model if bn == "batch" else model_async
+            st = state if bn == "batch" else state_async
+            config = TrainConfig(use_checkpointing=False, ool_mode=ool, bn_mode=bn)
+            ref_step = make_train_step(
+                mdl, tx, config, cw, fw,
+                pre_interpolation_factor=1.5, augment=False,
+            )
+            sr, mr = ref_step(st, batch_j, lr, key)
+            pp_step = make_pp_train_step(
+                mdl, tx, config, cw, fw,
+                pre_interpolation_factor=1.5, augment=False, n_micro=1,
+            )
+            sp, mp = pp_step(st, batch, lr, key)
+            np.testing.assert_allclose(
+                float(mr["ce_loss"]), float(mp["ce_loss"]), rtol=2e-5,
+                err_msg=ool,
+            )
+            np.testing.assert_allclose(
+                float(mr["dp_loss"]), float(mp["dp_loss"]), rtol=2e-5,
+                err_msg=ool,
+            )
+            np.testing.assert_allclose(
+                np.asarray(mr["dice"]), np.asarray(mp["dice"]),
+                rtol=1e-6, equal_nan=True, err_msg=ool,
+            )
+            assert_state_match(sr, sp, f"pp vs fused step ({ool}, bn={bn})")
+            assert int(sp.step) == int(st.step) + 1
+
+        # --- gate 3: n_micro=2 vs sequential microbatch accumulation ---
+        config = TrainConfig(use_checkpointing=False, ool_mode="fused")
+        pp_step2 = make_pp_train_step(
+            model, tx, config, cw, fw,
+            pre_interpolation_factor=1.5, augment=False, n_micro=2,
+        )
+        sp2, mp2 = pp_step2(state, batch, lr, key)
+
+        cw_j = jnp.asarray(cw)
+        img, lbl, mod = batch_j["image"], batch_j["label"], batch_j["modified_label"]
+
+        def wsel(t):
+            return cw_j[0] * (t == 0) + cw_j[1] * (t == 1)
+
+        denom = jnp.sum(wsel(mod))
+        _, rng_drop, _ = jax.random.split(key, 3)
+        drops = jax.random.split(rng_drop, 2)
+        m = B // 2
+
+        def loss_mb(params, xi, ti, dkey):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                xi[..., None], train=True,
+                rngs={"dropout": dkey}, mutable=["batch_stats"],
+            )
+            logits = out["out"]
+            return jnp.sum(_nll(logits, ti) * wsel(ti)) / denom, (logits, mut)
+
+        tot_g, tot_l, logits_mb, stats_mb = None, 0.0, [], []
+        for i in range(2):
+            (li, (lg, mut)), gi = jax.value_and_grad(loss_mb, has_aux=True)(
+                state.params, img[i * m:(i + 1) * m],
+                mod[i * m:(i + 1) * m], drops[i],
+            )
+            tot_l += li
+            logits_mb.append(lg)
+            stats_mb.append(mut["batch_stats"])
+            tot_g = gi if tot_g is None else jax.tree_util.tree_map(jnp.add, tot_g, gi)
+
+        upd, _ = tx.update(tot_g, _with_lr(state.opt_state, lr), state.params)
+        want_params = jax.tree_util.tree_map(jnp.add, state.params, upd)
+        want_stats = jax.tree_util.tree_map(
+            lambda a, b: (a + b) / 2, stats_mb[0], stats_mb[1]
+        )
+        dp_logits = jax.lax.stop_gradient(jnp.concatenate(logits_mb, 0))
+        idxs = batch_j["dataset_idx"]
+
+        def dp_obj(dp_vec):
+            return dp_loss_fn(
+                dp_logits, mod, dp_vec[idxs], jnp.asarray(fw)[idxs],
+                use_risk_regularization=True,
+            )
+
+        dp_loss, dp_g = jax.value_and_grad(dp_obj)(state.dp_params)
+        touched = jnp.zeros_like(state.dp_params, jnp.bool_).at[idxs].set(True)
+        want_dp, _ = sparse_adam_update(
+            state.dp_params, dp_g, state.dp_opt_state, touched,
+            config.lr_inst_param,
+        )
+
+        np.testing.assert_allclose(float(mp2["ce_loss"]), float(tot_l), rtol=2e-5)
+        np.testing.assert_allclose(float(mp2["dp_loss"]), float(dp_loss), rtol=2e-5)
+        oracle = state.replace(params=want_params, batch_stats=want_stats,
+                               dp_params=want_dp)
+        assert_state_match(sp2, oracle, "pp n_micro=2 vs sequential accumulation")
 
 
 def test_multihost_input_sharding_math_and_assembly():
