@@ -9,6 +9,14 @@ plain Python loop that alternates per-stage jitted calls on different
 devices IS a pipeline schedule — stage 0 of microbatch i+1 runs concurrently
 with stage 1 of microbatch i with no hand-written executor.
 
+Two tiers live here: `GPipe2`, the minimal forward/backward runner (loss_fn
+injected, plain optax update), and `make_pp_train_step`, the production
+driver mode (`config.mesh_pipe_stages=2` / `--mesh-pipe-stages 2`) — the
+FULL DeepSTAPLE train step (device-side augmentation, strict/fused OOL DP
+schedule, SparseAdam DP update, per-stage optimizer-state slices) with the
+same `(state, batch, lr, rng) -> (state, metrics)` contract as
+`train/step.py::make_train_step`, gate-tested equal to it in f64.
+
 Stage cut (the reference's own checkpoint segments,
 `MobileNet_LR_ASPP_3D.py:206-232`):
 
