@@ -155,6 +155,31 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
     )
     if not profile:
         return sec
+    # Steady-state pipelined wall clock: the production driver reads each
+    # step's metrics ONE STEP DEFERRED (train/driver.py pending_metrics), so
+    # the ~29ms tunnel dispatch+sync floor overlaps the next step's device
+    # work instead of serializing after it. Chain state-threaded steps with
+    # that same deferred host readback and divide end-to-end wall by count —
+    # the per-step-synced median above stays the headline for cross-round
+    # comparability.
+    pipelined_ms = None
+    try:
+        pending = None
+        t0 = time.time()
+        for _ in range(steps):
+            key, k = jax.random.split(key)
+            state, m = train_step(state, batch, 0.01, k)
+            if pending is not None:
+                _ = float(np.asarray(pending))  # host transfer = real sync
+            pending = m["loss"]
+        _ = float(np.asarray(pending))
+        pipelined_ms = (time.time() - t0) / steps * 1000
+        _eprint(
+            f"  pipelined (deferred-readback, driver pattern): "
+            f"{pipelined_ms:.1f} ms/step over {steps} chained steps"
+        )
+    except Exception as e:
+        _eprint(f"  pipelined measurement skipped: {e}")
     device_ms = None
     try:
         holder = {"state": state, "key": key}
@@ -169,7 +194,7 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
             _eprint(f"  device time (profiler): {device_ms:.1f} ms/step")
     except Exception as e:
         _eprint(f"  device-time profiling skipped: {e}")
-    return sec, device_ms
+    return sec, device_ms, pipelined_ms
 
 
 def measure_torch_baseline() -> float:
@@ -498,12 +523,16 @@ def main(argv=None):
     # ~240ms/step (profiler-attributed). bn_mode='async' is the steady-state
     # step the driver runs after its 1-epoch slab warmup (models/norm.py;
     # measured 650.7 -> 558.0 ms on v5e-1).
-    sec_tpu, device_ms = measure_tpu_train_step(
+    sec_tpu, device_ms, pipelined_ms = measure_tpu_train_step(
         args.steps, args.dtype, ool_mode="fused", augment_order="fast-sep",
         use_checkpointing=False, bn_mode="async", profile=True,
     )
     _HEADLINE_SEC.append(sec_tpu)
     extra = _floor_and_mfu(device_ms)
+    if pipelined_ms:
+        # the driver's actual steady-state throughput (deferred metric
+        # readback overlaps the tunnel dispatch+sync floor with device work)
+        extra["pipelined_ms_per_step"] = round(pipelined_ms, 1)
     try:
         # previous production order (int8 quad-packed image warp + separate
         # label gather; also what non-binary datasets auto-downgrade to)
