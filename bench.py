@@ -97,6 +97,34 @@ def _profile_device_ms(once, iters: int = 3):
     return total_ps / 1e9 / iters
 
 
+def _pipelined_ms_per_step(train_step, state, batch, key, steps: int):
+    """Steady-state pipelined wall clock of a state-threaded step chain.
+
+    The production driver reads each step's metrics ONE STEP DEFERRED
+    (train/driver.py pending_metrics), so the ~29ms tunnel dispatch+sync
+    floor overlaps the next step's device work instead of serializing after
+    it. This chains `steps` state-threaded calls with that same deferred
+    host readback (the host transfer of step i-1's loss is the only sync —
+    block_until_ready is unreliable over the tunnel) and divides the
+    end-to-end wall by the count. The per-step-synced median stays bench's
+    headline for cross-round comparability.
+
+    Returns (state, key, ms_per_step).
+    """
+    import jax
+
+    pending = None
+    t0 = time.time()
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state, m = train_step(state, batch, 0.01, k)
+        if pending is not None:
+            _ = float(np.asarray(pending))  # host transfer = real sync
+        pending = m["loss"]
+    _ = float(np.asarray(pending))
+    return state, key, (time.time() - t0) / steps * 1000
+
+
 def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
                            ool_mode: str = "strict", augment_order: str = "reference",
                            use_checkpointing: bool = True, bn_mode: str = "batch",
@@ -155,25 +183,11 @@ def measure_tpu_train_step(steps: int = 10, compute_dtype: str = "bfloat16",
     )
     if not profile:
         return sec
-    # Steady-state pipelined wall clock: the production driver reads each
-    # step's metrics ONE STEP DEFERRED (train/driver.py pending_metrics), so
-    # the ~29ms tunnel dispatch+sync floor overlaps the next step's device
-    # work instead of serializing after it. Chain state-threaded steps with
-    # that same deferred host readback and divide end-to-end wall by count —
-    # the per-step-synced median above stays the headline for cross-round
-    # comparability.
     pipelined_ms = None
     try:
-        pending = None
-        t0 = time.time()
-        for _ in range(steps):
-            key, k = jax.random.split(key)
-            state, m = train_step(state, batch, 0.01, k)
-            if pending is not None:
-                _ = float(np.asarray(pending))  # host transfer = real sync
-            pending = m["loss"]
-        _ = float(np.asarray(pending))
-        pipelined_ms = (time.time() - t0) / steps * 1000
+        state, key, pipelined_ms = _pipelined_ms_per_step(
+            train_step, state, batch, key, steps
+        )
         _eprint(
             f"  pipelined (deferred-readback, driver pattern): "
             f"{pipelined_ms:.1f} ms/step over {steps} chained steps"

@@ -218,6 +218,45 @@ def test_bench_canary_gate_backoff(monkeypatch):
     assert calls[-1] == ("sleep", 13)    # settled after the healthy canary
 
 
+def test_bench_pipelined_measurement_threads_state_and_defers_readback():
+    """bench._pipelined_ms_per_step: chains `steps` state-threaded calls with
+    the driver's deferred-readback pattern — each step's loss is consumed
+    exactly once, one step late (the final one after the loop), and the
+    returned state has advanced through every step."""
+    import jax
+
+    import bench
+
+    reads = []
+
+    class Loss:
+        """Records when the host actually reads the value."""
+
+        def __init__(self, i):
+            self.i = i
+
+        def __array__(self, dtype=None, copy=None):
+            reads.append(self.i)
+            return np.asarray(float(self.i), dtype=dtype or np.float32)
+
+    calls = []
+
+    def fake_step(state, batch, lr, key):
+        assert batch is BATCH_SENTINEL and lr == 0.01
+        calls.append(int(state))
+        return state + 1, {"loss": Loss(len(calls))}
+
+    BATCH_SENTINEL = object()
+    state, key, ms = bench._pipelined_ms_per_step(
+        fake_step, 0, BATCH_SENTINEL, jax.random.PRNGKey(0), 4
+    )
+    assert state == 4 and calls == [0, 1, 2, 3]
+    # losses 1..4 each read once, in order, loss i consumed after call i+1
+    assert reads == [1, 2, 3, 4]
+    assert ms >= 0.0
+    assert isinstance(key, jax.Array) and key.shape == (2,)
+
+
 def _wait_until(pred, timeout=10.0):
     import time
 
