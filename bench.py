@@ -239,12 +239,15 @@ def measure_torch_baseline() -> float:
     return sec
 
 
-def measure_serving(batch: int = 2, spatial=(256, 256, 100), iters: int = 5):
+def measure_serving(batch: int = 4, spatial=(256, 256, 100), iters: int = 5):
     """Serving throughput (VERDICT r4 #6): eval-mode forward + argmax at the
     reference's validation/serving resolution (x2.0 eval scale of the
     128x128x50 crop, `HybridIdLoader.py:336` -> 256x256x100), bf16, single
-    chip. Device-resident input; checkpoint restore and NIfTI I/O excluded
-    (host I/O is tunnel-bound in this environment). Returns volumes/s."""
+    chip. batch=4 is the serve CLI's default (`serve.py::serve`); it also
+    amortizes the ~29ms tunnel dispatch+sync floor that dominates smaller
+    batches (b2 measured 17.3 vol/s, b4 19.7). Device-resident input;
+    checkpoint restore and NIfTI I/O excluded (host I/O is tunnel-bound in
+    this environment). Returns volumes/s."""
     import jax
     import jax.numpy as jnp
 
