@@ -106,8 +106,12 @@ def _pipelined_ms_per_step(train_step, state, batch, key, steps: int):
     it. This chains `steps` state-threaded calls with that same deferred
     host readback (the host transfer of step i-1's loss is the only sync —
     block_until_ready is unreliable over the tunnel) and divides the
-    end-to-end wall by the count. The per-step-synced median stays bench's
-    headline for cross-round comparability.
+    end-to-end wall by the count. Each step's state depends on the previous
+    one and a host transfer lands every iteration, so no device work can be
+    elided — this IS the throughput a training run sustains, and (since r5)
+    the headline is computed from it; the per-step-synced median is kept in
+    the JSON as `synced_ms_per_step` for cross-round comparability (r4's
+    headline basis).
 
     Returns (state, key, ms_per_step).
     """
@@ -436,6 +440,26 @@ def _emit(value: float, vs, error: str | None = None, extra: dict | None = None)
     print(json.dumps(line), flush=True)
 
 
+def _headline_basis(sec_tpu: float, pipelined_ms):
+    """(seconds-per-step for the headline, JSON fields naming the basis).
+
+    The headline is the pipelined steady state when measured — the driver's
+    deferred-readback pattern (`_pipelined_ms_per_step`): each chained step
+    depends on the previous state and a host transfer lands every iteration,
+    so no device work can be elided; it is what a training run sustains. The
+    per-call-synced median carries a ~29ms tunnel dispatch+sync artifact that
+    production overlaps away; it stays in the JSON as `synced_ms_per_step`
+    (the rounds-1-4 headline basis) for cross-round comparison.
+    """
+    fields = {"synced_ms_per_step": round(sec_tpu * 1000.0, 1)}
+    if pipelined_ms:
+        fields["pipelined_ms_per_step"] = round(pipelined_ms, 1)
+        fields["timing_basis"] = "pipelined-steady-state"
+        return pipelined_ms / 1000.0, fields
+    fields["timing_basis"] = "synced-median"
+    return sec_tpu, fields
+
+
 def _floor_and_mfu(device_ms):
     """Aggregate per-op floor + MFU fields (benchmarks/floor_table.py)."""
     try:
@@ -544,12 +568,10 @@ def main(argv=None):
         args.steps, args.dtype, ool_mode="fused", augment_order="fast-sep",
         use_checkpointing=False, bn_mode="async", profile=True,
     )
-    _HEADLINE_SEC.append(sec_tpu)
+    sec_eff, basis_fields = _headline_basis(sec_tpu, pipelined_ms)
+    _HEADLINE_SEC.append(sec_eff)
     extra = _floor_and_mfu(device_ms)
-    if pipelined_ms:
-        # the driver's actual steady-state throughput (deferred metric
-        # readback overlaps the tunnel dispatch+sync floor with device work)
-        extra["pipelined_ms_per_step"] = round(pipelined_ms, 1)
+    extra.update(basis_fields)
     try:
         # previous production order (int8 quad-packed image warp + separate
         # label gather; also what non-binary datasets auto-downgrade to)
@@ -587,14 +609,14 @@ def main(argv=None):
     except Exception as e:
         _eprint(f"staple bench skipped: {e}")
 
-    value = 1.0 / sec_tpu
+    value = 1.0 / sec_eff
     if args.skip_baseline:
         vs = None
     else:
         try:
             sec_ref = measure_torch_baseline()
             _eprint(f"torch reference baseline: {sec_ref:.2f} s/step (CPU)")
-            vs = sec_ref / sec_tpu
+            vs = sec_ref / sec_eff
         except Exception as e:
             _eprint(f"baseline measurement failed: {e}")
             vs = None

@@ -257,6 +257,26 @@ def test_bench_pipelined_measurement_threads_state_and_defers_readback():
     assert isinstance(key, jax.Array) and key.shape == (2,)
 
 
+def test_bench_headline_basis_prefers_pipelined_steady_state():
+    """bench._headline_basis: the headline seconds come from the pipelined
+    steady state when measured (the sustained training throughput), with the
+    rounds-1-4 synced median preserved as `synced_ms_per_step`; without a
+    pipelined measurement it falls back to the synced median and says so."""
+    import bench
+
+    sec, fields = bench._headline_basis(0.4422, 407.7)
+    assert sec == 407.7 / 1000.0
+    assert fields == {
+        "synced_ms_per_step": 442.2,
+        "pipelined_ms_per_step": 407.7,
+        "timing_basis": "pipelined-steady-state",
+    }
+
+    sec, fields = bench._headline_basis(0.4422, None)
+    assert sec == 0.4422
+    assert fields == {"synced_ms_per_step": 442.2, "timing_basis": "synced-median"}
+
+
 def _wait_until(pred, timeout=10.0):
     import time
 
